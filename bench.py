@@ -1,0 +1,110 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "triples_per_sec": ...}
+
+The KG-build entries are the north-star workload (triples/sec end-to-end);
+the rest cover the operator families (dedup, ANN, text analysis, relational).
+Run tools/scaling_bench.py for the N vs 4N scaling-efficiency evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from graph_rag_agent_spark.functions.extractor import (  # noqa: E402
+    KeywordCooccurrenceExtractor,
+)
+from graph_rag_agent_spark.operators.canonicalize import canonicalize  # noqa: E402
+from graph_rag_agent_spark.operators.chunker import chunk_documents  # noqa: E402
+from graph_rag_agent_spark.operators.embeddings import embed_entities  # noqa: E402
+from graph_rag_agent_spark.operators.extraction import extract_chunks  # noqa: E402
+from graph_rag_agent_spark.operators.parsing import build_graph_tables  # noqa: E402
+from graph_rag_agent_spark.session import get_spark  # noqa: E402
+from graph_rag_agent_spark.sources.corpus import generate_corpus  # noqa: E402
+
+BENCH_QUERIES = [
+    "kg_triples_raw",
+    "kg_canonical_triples",
+    "exact_dedup",
+    "jaccard_pairs",
+    "simhash_signatures",
+    "minhash_lsh_pairs",
+    "ann_topk",
+    "knn_per_label",
+    "token_counts",
+    "quality_scores",
+    "language_id",
+    "fingerprints",
+    "tpch_q1",
+    "top_orders_per_segment",
+    "regional_revenue",
+]
+
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "2000"))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
+    spark = get_spark(app_name="graft-bench", master=f"local[{cpus}]")
+
+    timings: dict = {}
+    qs = entry_mod.queries()
+    total_t0 = time.time()
+
+    # north-star workload: synthetic source-code corpus → canonical triples
+    t0 = time.time()
+    corpus = generate_corpus(spark, SYNTH_DOCS).localCheckpoint(eager=True)
+    corpus_build_s = time.time() - t0
+    t0 = time.time()
+    chunks = chunk_documents(corpus)
+    results = extract_chunks(chunks)
+    nodes, edges, mentions = build_graph_tables(results)
+    emb = embed_entities(nodes)
+    res = canonicalize(nodes, edges, mentions, emb)
+    n_triples = res.edges.count()
+    kg_s = time.time() - t0
+    timings["kg_build_synthetic"] = round(kg_s, 3)
+    triples_per_sec = round(n_triples / kg_s, 2) if kg_s > 0 else 0.0
+
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    total = round(time.time() - total_t0 - corpus_build_s, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "triples_per_sec": triples_per_sec,
+                "synthetic_docs": SYNTH_DOCS,
+                "synthetic_triples": n_triples,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,318 @@
+"""Entity canonicalization — the LightRAG-style dedupe as a salted
+blocked similarity join + DataFrame connected components.
+
+Reference operators D2-D14 (similar_entity.py, entity_merger.py,
+entity_disambiguation.py, entity_alignment.py):
+
+1. SIMILAR edges   — GDS KNN (cosine ≥ 0.9, topK 10) → here: blocked
+                     self-similarity via `applyInPandas` (numpy matmul per
+                     block — vectorized, no |block|² row explosion), blocks
+                     from the shared normalized-name prefix key.
+2. WCC             — gds.wcc → DataFrame CC loop (connected_components.py).
+3. Duplicate groups— within each wcc, pairs with levenshtein(lower) < 3
+                     (built-in F.levenshtein), overlapping groups unioned by
+                     running CC over the pair graph — exactly the apoc
+                     union/subsumption dance (similar_entity.py:295-372).
+4. Merge           — group representative = min entity_id (deterministic
+                     stand-in for the reference's list-order first node,
+                     entity_merger.py:348-360).
+5. Disambiguate +  — remaining wcc groups of ≥2: canonical = max degree,
+   align             tie → min id (entity_disambiguation.py:213-233), merge
+                     with edge transfer + duplicate-edge cleanup
+                     (entity_alignment.py:153-281).
+
+Skew/scale: hot blocks (one giant prefix — think 'test…' across 10^12
+files) are re-blocked with progressively longer prefixes until under the
+salt threshold (the explicit skew handling the north rule demands; AQE
+skew-join stays on as backstop). The canonical map is tiny relative to the
+edge table → applied with broadcast() joins on subj and obj.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graph_rag_agent_spark.config import (
+    BLOCK_SALT_THRESHOLD,
+    SIMILARITY_CUTOFF,
+    SIMILARITY_TOPK,
+    WORD_EDIT_DISTANCE,
+)
+from graph_rag_agent_spark.functions.blocking import BLOCK_PREFIX_LEN
+from graph_rag_agent_spark.operators.connected_components import connected_components
+
+# Spark-side normalized name — MUST mirror functions/blocking.normalize_name
+_NORMALIZE_PATTERN = r"[^0-9a-z一-鿿]+"
+
+
+def _norm_col(col: str) -> F.Column:
+    return F.regexp_replace(F.lower(F.col(col)), _NORMALIZE_PATTERN, "")
+
+
+def assign_blocks(
+    embeddings: DataFrame,
+    threshold: int = BLOCK_SALT_THRESHOLD,
+    base_prefix: int = BLOCK_PREFIX_LEN,
+    max_prefix: int = 16,
+) -> DataFrame:
+    """entity_embeddings → + block column.
+
+    Base block = prefix of the normalized entity name. Oversized blocks
+    (skewed keys) are adaptively re-blocked with longer prefixes until every
+    block fits under `threshold` (or the name runs out of characters) —
+    deterministic salting that never splits a true near-duplicate pair
+    across blocks, because near-duplicates share long prefixes.
+    """
+    df = embeddings.withColumn("_norm", _norm_col("entity_id")).withColumn(
+        "block",
+        F.when(F.length("_norm") == 0, F.lit("∅")).otherwise(
+            F.substring("_norm", 1, base_prefix)
+        ),
+    )
+    plen = base_prefix
+    while plen < max_prefix:
+        sizes = df.groupBy("block").agg(F.count("*").alias("_n"))
+        hot = sizes.filter(F.col("_n") > threshold).select("block")
+        if hot.isEmpty():
+            break
+        plen += 2
+        df = (
+            df.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), on="block", how="left")
+            .withColumn(
+                "block",
+                F.when(
+                    F.col("_hot").isNotNull() & (F.length("_norm") > plen - 2),
+                    F.substring("_norm", 1, plen),
+                ).otherwise(F.col("block")),
+            )
+            .drop("_hot")
+        )
+    return df.drop("_norm")
+
+
+def similar_edges(
+    embeddings: DataFrame,
+    cutoff: float = SIMILARITY_CUTOFF,
+    topk: int = SIMILARITY_TOPK,
+    threshold: int = BLOCK_SALT_THRESHOLD,
+) -> DataFrame:
+    """entity_embeddings(entity_id, embedding) → SIMILAR(src, dst, score).
+
+    Within each block: numpy cosine matrix, pairs ≥ cutoff, per-node topK
+    (score desc, id asc). A pair survives if it is in the topK of either
+    endpoint — matching GDS KNN's per-node topK writeback (D2).
+    """
+    blocked = assign_blocks(embeddings, threshold=threshold)
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
+                {"src": str, "dst": str, "score": float}
+            )
+        ids = pdf["entity_id"].to_numpy()
+        mat = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["embedding"]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        # per-node topK among >= cutoff, excluding self
+        np.fill_diagonal(sims, -1.0)
+        keep = set()
+        order = np.argsort(ids, kind="stable")  # deterministic id tie-break
+        for i in range(n):
+            cand = np.where(sims[i] >= cutoff)[0]
+            if cand.size == 0:
+                continue
+            # sort by (-score, id) for determinism
+            cand = sorted(cand, key=lambda j: (-float(sims[i, j]), ids[j]))[:topk]
+            for j in cand:
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                keep.add((a, b))
+        del order
+        rows = [(ids[a], ids[b], float(sims[a, b])) for a, b in sorted(keep, key=lambda p: (ids[p[0]], ids[p[1]]))]
+        return pd.DataFrame(rows, columns=["src", "dst", "score"])
+
+    return blocked.groupBy("block").applyInPandas(
+        per_block, schema="src string, dst string, score double"
+    )
+
+
+def wcc_labels(embeddings: DataFrame, similar: DataFrame) -> DataFrame:
+    """→ (entity_id, component): connected components over SIMILAR edges;
+    singleton entities are their own component (D3)."""
+    vertices = embeddings.select("entity_id")
+    labels = connected_components(
+        vertices, similar, vertex_col="entity_id", src_col="src", dst_col="dst"
+    )
+    return labels.select(F.col("id").alias("entity_id"), "component")
+
+
+def duplicate_groups(labels: DataFrame, max_edit_distance: int = WORD_EDIT_DISTANCE) -> DataFrame:
+    """Within-wcc edit-distance pairing → merged candidate groups (D4/D6).
+
+    → (entity_id, group_id) for entities belonging to a multi-member group;
+    group_id = min entity_id of the group (the deterministic 'first node').
+    Only ids longer than 1 char participate (similar_entity.py:306 size>1).
+    """
+    members = labels.filter(F.length("entity_id") > 1)
+    a = members.alias("a")
+    b = members.alias("b")
+    pairs = (
+        a.join(b, on=(F.col("a.component") == F.col("b.component")) & (F.col("a.entity_id") < F.col("b.entity_id")))
+        .filter(
+            F.levenshtein(F.lower("a.entity_id"), F.lower("b.entity_id"))
+            < max_edit_distance
+        )
+        .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
+    )
+    verts = (
+        pairs.select(F.col("src").alias("entity_id"))
+        .unionByName(pairs.select(F.col("dst").alias("entity_id")))
+        .distinct()
+    )
+    comp = connected_components(verts, pairs, vertex_col="entity_id")
+    return comp.select(F.col("id").alias("entity_id"), F.col("component").alias("group_id"))
+
+
+def apply_canonical_map(
+    nodes: DataFrame, edges: DataFrame, mentions: DataFrame, cmap: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Rewire nodes/edges/mentions through canonical_map(entity_id → canonical_id)
+    (D7/D14): the map is broadcast onto subj and obj; same-direction duplicate
+    edges collapse keeping max weight + lexicographically-first description
+    (deterministic stand-in for 'first node wins', entity_merger.py:409-450)."""
+    cmap = cmap.select("entity_id", "canonical_id")
+    bmap = F.broadcast(cmap)
+
+    new_nodes = (
+        nodes.join(bmap, on="entity_id", how="left")
+        .withColumn("canonical_id", F.coalesce("canonical_id", "entity_id"))
+        .withColumn("_merged_away", F.col("canonical_id") != F.col("entity_id"))
+    )
+    survivors = (
+        new_nodes.groupBy("canonical_id")
+        .agg(
+            F.min_by(
+                F.struct("entity_id", "entity_type", "description"),
+                F.when(F.col("_merged_away"), F.lit(1)).otherwise(F.lit(0)),
+            ).alias("_keep"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_merged_away"), F.col("entity_id")))
+            ).alias("aligned_from"),
+        )
+        .select(
+            F.col("canonical_id").alias("entity_id"),
+            F.col("_keep.entity_type").alias("entity_type"),
+            F.col("_keep.description").alias("description"),
+            "aligned_from",
+        )
+    )
+
+    new_edges = (
+        edges.join(bmap.withColumnRenamed("entity_id", "subj").withColumnRenamed("canonical_id", "_cs"), on="subj", how="left")
+        .join(bmap.withColumnRenamed("entity_id", "obj").withColumnRenamed("canonical_id", "_co"), on="obj", how="left")
+        .withColumn("subj", F.coalesce("_cs", "subj"))
+        .withColumn("obj", F.coalesce("_co", "obj"))
+        .drop("_cs", "_co")
+        .filter(F.col("subj") != F.col("obj"))  # merges can create self-loops; drop
+        .groupBy("subj", "pred", "obj")
+        .agg(
+            F.min("description").alias("description"),
+            F.max("weight").alias("weight"),
+            F.min("chunk_id").alias("chunk_id"),
+            F.count("*").alias("support"),
+        )
+    )
+
+    new_mentions = (
+        mentions.join(bmap, on="entity_id", how="left")
+        .withColumn("entity_id", F.coalesce("canonical_id", "entity_id"))
+        .select("chunk_id", "entity_id")
+        .dropDuplicates(["chunk_id", "entity_id"])
+    )
+    return survivors, new_edges, new_mentions
+
+
+def degree_table(edges: DataFrame) -> DataFrame:
+    """entity degree = number of incident edge endpoints (COUNT{(e)--()}),
+    the canonical-selection key of D10 (entity_disambiguation.py:213-215)."""
+    return (
+        edges.select(F.col("subj").alias("entity_id"))
+        .unionByName(edges.select(F.col("obj").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def disambiguation_map(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """wcc groups of ≥2 surviving members → canonical = max degree, tie →
+    min entity_id (D10); → canonical_map(entity_id, canonical_id) rows only
+    for entities that change."""
+    deg = degree_table(edges)
+    members = labels.join(deg, on="entity_id", how="left").fillna({"degree": 0})
+    w = Window.partitionBy("component").orderBy(F.desc("degree"), F.asc("entity_id"))
+    ranked = members.withColumn("_canon", F.first("entity_id").over(w))
+    return (
+        ranked.filter(F.col("entity_id") != F.col("_canon"))
+        .select("entity_id", F.col("_canon").alias("canonical_id"))
+    )
+
+
+class CanonicalizationResult(NamedTuple):
+    nodes: DataFrame
+    edges: DataFrame
+    mentions: DataFrame
+    similar: DataFrame
+    wcc: DataFrame
+    merge_map: DataFrame
+    disambig_map: DataFrame
+
+
+def canonicalize(
+    nodes: DataFrame,
+    edges: DataFrame,
+    mentions: DataFrame,
+    embeddings: DataFrame,
+    cutoff: float = SIMILARITY_CUTOFF,
+    topk: int = SIMILARITY_TOPK,
+    max_edit_distance: int = WORD_EDIT_DISTANCE,
+) -> CanonicalizationResult:
+    """Full D2-D14 sequence. Two merge phases, both driven by the same
+    canonical-map machinery; every intermediate is small relative to edges
+    so the maps broadcast."""
+    similar = similar_edges(embeddings, cutoff=cutoff, topk=topk).localCheckpoint(eager=True)
+    labels = wcc_labels(embeddings, similar).localCheckpoint(eager=True)
+
+    # phase M: edit-distance duplicate groups within wcc → merge to min id
+    groups = duplicate_groups(labels, max_edit_distance=max_edit_distance)
+    merge_map = (
+        groups.filter(F.col("entity_id") != F.col("group_id"))
+        .select("entity_id", F.col("group_id").alias("canonical_id"))
+        .localCheckpoint(eager=True)
+    )
+    nodes1, edges1, mentions1 = apply_canonical_map(nodes, edges, mentions, merge_map)
+    nodes1 = nodes1.localCheckpoint(eager=True)
+    edges1 = edges1.localCheckpoint(eager=True)
+
+    # phase A: disambiguation/alignment over surviving wcc co-members
+    surviving_labels = (
+        labels.join(F.broadcast(merge_map), on="entity_id", how="left_anti")
+        .join(nodes1.select("entity_id"), on="entity_id", how="inner")
+    )
+    disambig_map = disambiguation_map(surviving_labels, edges1).localCheckpoint(eager=True)
+    nodes2, edges2, mentions2 = apply_canonical_map(nodes1.drop("aligned_from"), edges1.drop("support"), mentions1, disambig_map)
+
+    return CanonicalizationResult(
+        nodes=nodes2,
+        edges=edges2,
+        mentions=mentions2,
+        similar=similar,
+        wcc=labels,
+        merge_map=merge_map,
+        disambig_map=disambig_map,
+    )

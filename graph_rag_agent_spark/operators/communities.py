@@ -1,0 +1,257 @@
+"""Community detection & summarization (reference G1-G10).
+
+Reference runs gds.leiden inside Neo4j (community/detector/leiden.py:10-89)
+with includeIntermediateCommunities, then ranks communities by distinct
+mentioning chunks and LLM-summarizes the top 200
+(community/summary/base.py, summary/leiden.py).
+
+Spark rebuild — no GDS, no GraphFrames:
+- G1 projection    → undirected weighted edge aggregation:
+                     (least, greatest) pair groupBy count.
+- G3 detection     → synchronous weighted label propagation (a deterministic
+                     Leiden-approximating local-move loop) as a driver-side
+                     DataFrame iteration with per-iteration localCheckpoint;
+                     hierarchy levels by contracting the graph on the found
+                     communities and re-running (maxLevels from config).
+                     Parity with GDS Leiden is structural (deterministic
+                     fixtures), not numeric — the P/R gate is on triples.
+- G5 hierarchy     → per-entity communities array<bigint> via dense ids.
+- G6 rank          → join members → mentions → countDistinct(chunk_id).
+- G8/G9 summary    → template summarizer (pluggable; LLM in prod) over
+                     collect_list of member/edge structs for the top-200 by
+                     rank — `orderBy(desc(rank)).limit(200)` is Spark's
+                     TakeOrderedAndProject, no full sort.
+
+Scale: label propagation is one shuffle per sweep (groupBy node, then
+groupBy (node,label)); the contracted levels are tiny. Rank and summaries
+are bounded by the top-K limit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from graph_rag_agent_spark.config import (
+    COMMUNITY_MAX_ITER,
+    COMMUNITY_MAX_LEVELS,
+    COMMUNITY_TOP_SUMMARIES,
+)
+
+
+def weighted_projection(edges: DataFrame) -> DataFrame:
+    """G1: undirected weighted graph; parallel edges collapse, weight = count
+    (reference projections.py:24-37 COUNT aggregation)."""
+    return (
+        edges.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("s"),
+            F.greatest("subj", "obj").alias("d"),
+        )
+        .groupBy("s", "d")
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+
+
+def label_propagation(
+    vertices: DataFrame,
+    wedges: DataFrame,
+    max_iter: int = COMMUNITY_MAX_ITER,
+) -> DataFrame:
+    """→ (id, label): weighted synchronous label propagation, label = the
+    neighbor label with max incident weight sum, ties → min label. Init
+    label = own id, so the result is deterministic."""
+    sym = (
+        wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")
+        .unionByName(wedges.select(F.col("d").alias("a"), F.col("s").alias("b"), "weight"))
+        .localCheckpoint(eager=True)
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        scores = (
+            sym.join(labels, sym["b"] == labels["id"], "inner")
+            .groupBy(F.col("a"), F.col("label"))
+            .agg(F.sum("weight").alias("w"))
+        )
+        w = Window.partitionBy("a").orderBy(F.desc("w"), F.asc("label"))
+        best = (
+            scores.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("id"), F.col("label").alias("new_label"))
+        )
+        updated = (
+            labels.join(best, on="id", how="left")
+            .select(
+                "id",
+                F.coalesce("new_label", "label").alias("label"),
+                (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.agg(F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")).collect()[0]["n"]
+        labels = updated.drop("_chg")
+        if not changed:
+            break
+    return labels
+
+
+def detect_communities(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_levels: int = COMMUNITY_MAX_LEVELS,
+    max_iter: int = COMMUNITY_MAX_ITER,
+) -> DataFrame:
+    """→ (entity_id, communities array<bigint>) — per-entity community id at
+    each level 0..L (reference leiden.py writeProperty='communities')."""
+    verts = nodes.select(F.col("entity_id").alias("id"))
+    wedges = weighted_projection(edges).localCheckpoint(eager=True)
+
+    per_level: List[DataFrame] = []
+    cur_labels = None
+    for level in range(max_levels):
+        labels = label_propagation(verts, wedges, max_iter=max_iter)
+        # dense 0-based ids per level (gds consecutiveIds)
+        distinct = labels.select("label").distinct().withColumn(
+            "cid", F.dense_rank().over(Window.orderBy("label")).cast("bigint") - 1
+        )
+        dense = labels.join(F.broadcast(distinct), on="label", how="inner").select(
+            "id", F.col("cid").alias(f"c{level}")
+        ).localCheckpoint(eager=True)
+
+        if cur_labels is None:
+            cur_labels = dense  # (entity id → c0)
+        else:
+            # previous level's community id is this level's vertex id
+            prev_col = f"c{level - 1}"
+            mapping = dense.withColumnRenamed("id", "_prev_comm")
+            cur_labels = cur_labels.join(
+                F.broadcast(mapping),
+                cur_labels[prev_col] == mapping["_prev_comm"].cast("bigint"),
+                "inner",
+            ).drop("_prev_comm").localCheckpoint(eager=True)
+        per_level.append(dense)
+
+        if level + 1 < max_levels:
+            # contract: vertices = communities, edges aggregated between them
+            lbl = dense.select(F.col("id").alias("_v"), F.col(f"c{level}").cast("string").alias("_c"))
+            wedges = (
+                wedges.join(lbl.withColumnRenamed("_v", "s").withColumnRenamed("_c", "cs"), on="s")
+                .join(lbl.withColumnRenamed("_v", "d").withColumnRenamed("_c", "cd"), on="d")
+                .filter(F.col("cs") != F.col("cd"))
+                .select(
+                    F.least("cs", "cd").alias("s"),
+                    F.greatest("cs", "cd").alias("d"),
+                    "weight",
+                )
+                .groupBy("s", "d")
+                .agg(F.sum("weight").alias("weight"))
+                .localCheckpoint(eager=True)
+            )
+            verts = lbl.select(F.col("_c").alias("id")).distinct()
+
+    level_cols = [f"c{i}" for i in range(max_levels)]
+    return cur_labels.select(
+        F.col("id").alias("entity_id"), F.array(*level_cols).alias("communities")
+    )
+
+
+def community_membership(entity_communities: DataFrame) -> DataFrame:
+    """(entity_id, communities) → communities(community_id, level, member_id)
+    with community_id = '{level}-{cid}' (reference leiden.py:102-139)."""
+    return entity_communities.select(
+        F.col("entity_id").alias("member_id"),
+        F.posexplode("communities").alias("level", "cid"),
+    ).select(
+        F.concat_ws("-", F.col("level"), F.col("cid")).alias("community_id"),
+        F.col("level").cast("int").alias("level"),
+        "member_id",
+    )
+
+
+def community_rank(membership: DataFrame, mentions: DataFrame) -> DataFrame:
+    """G6: rank = count(DISTINCT mentioning chunk) over member entities."""
+    return (
+        membership.join(
+            mentions.withColumnRenamed("entity_id", "member_id"), on="member_id"
+        )
+        .groupBy("community_id", "level")
+        .agg(F.countDistinct("chunk_id").alias("rank"))
+    )
+
+
+def summarize_communities(
+    membership: DataFrame,
+    nodes: DataFrame,
+    edges: DataFrame,
+    rank: DataFrame,
+    top_n: int = COMMUNITY_TOP_SUMMARIES,
+    level: int = 0,
+) -> DataFrame:
+    """G7-G10: top-N level-0 communities by rank → template summaries.
+
+    → community_summaries(community_id, level, rank, summary, full_content).
+    The summarizer is a deterministic template (pluggable LLM slot in prod,
+    reference summary/base.py:174-281); info stringification mirrors
+    'Nodes are: ... Relationships are: ...' (summary/base.py:16-46).
+    """
+    top = (
+        rank.filter(F.col("level") == level)
+        .orderBy(F.desc("rank"), F.asc("community_id"))
+        .limit(top_n)
+    )
+    members = membership.filter(F.col("level") == level).join(
+        F.broadcast(top.select("community_id", "rank")), on="community_id"
+    )
+    with_nodes = members.join(
+        nodes.withColumnRenamed("entity_id", "member_id"), on="member_id"
+    )
+    # intra-community edges, one direction (subj < obj — summary/leiden.py dedup)
+    m = members.select("community_id", F.col("member_id"))
+    e = edges.filter(F.col("subj") < F.col("obj"))
+    intra = (
+        e.join(m.withColumnRenamed("member_id", "subj"), on="subj")
+        .join(
+            m.withColumnRenamed("member_id", "obj").withColumnRenamed("community_id", "_c2"),
+            on="obj",
+        )
+        .filter(F.col("community_id") == F.col("_c2"))
+        .select("community_id", "subj", "pred", "obj")
+    )
+    node_info = with_nodes.groupBy("community_id", "rank").agg(
+        F.array_sort(
+            F.collect_list(F.concat_ws(":", "member_id", "entity_type"))
+        ).alias("node_descs")
+    )
+    edge_info = intra.groupBy("community_id").agg(
+        F.array_sort(
+            F.collect_list(F.concat_ws(" -> ", "subj", "pred", "obj"))
+        ).alias("edge_descs")
+    )
+    info = node_info.join(edge_info, on="community_id", how="left").withColumn(
+        "edge_descs", F.coalesce("edge_descs", F.array())
+    )
+    full_content = F.concat(
+        F.lit("Nodes are: "),
+        F.array_join("node_descs", "; "),
+        F.lit(" Relationships are: "),
+        F.array_join("edge_descs", "; "),
+    )
+    summary = F.concat(
+        F.lit("Community "),
+        F.col("community_id"),
+        F.lit(" with "),
+        F.size("node_descs").cast("string"),
+        F.lit(" entities and "),
+        F.size("edge_descs").cast("string"),
+        F.lit(" relationships."),
+    )
+    return info.select(
+        "community_id",
+        F.lit(level).alias("level"),
+        F.col("rank").cast("bigint").alias("rank"),
+        summary.alias("summary"),
+        full_content.alias("full_content"),
+    )

@@ -1,0 +1,91 @@
+"""Iterative DataFrame connected components.
+
+Replaces the reference's in-database ``gds.wcc.write`` (similar_entity.py:231-293).
+No GraphFrames dependency: a driver-side loop of joins/aggregations —
+alternating min-label propagation ("small-star" style): every node adopts
+the minimum label in its closed neighborhood until fixpoint.
+
+Scale notes:
+- each iteration is one shuffle (groupBy node) over the edge list; labels
+  propagate along shortest paths, so iterations ≈ component diameter.
+  Similarity clusters (our workload) have tiny diameters (< 5); the
+  CC_MAX_ITERATIONS bound is a safety rail, not a tuning knob.
+- ``localCheckpoint`` every few iterations cuts the lineage chain —
+  without it the plan doubles per iteration and Catalyst planning time
+  explodes (the classic iterative-DataFrame pitfall).
+- convergence check is a cheap aggregate (sum of label changes), not a
+  collect of the frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from graph_rag_agent_spark.config import CC_MAX_ITERATIONS
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = CC_MAX_ITERATIONS,
+) -> DataFrame:
+    """→ (id, component) where component = min vertex id (string order)
+    reachable in the undirected graph. Vertices with no edges keep their own
+    id as component."""
+    # undirected: both directions once
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .dropDuplicates(["a", "b"])
+        .localCheckpoint(eager=True)
+    )
+
+    labels = vertices.select(
+        F.col(vertex_col).alias("id"), F.col(vertex_col).alias("component")
+    ).localCheckpoint(eager=True)
+
+    for i in range(max_iterations):
+        # min neighbor label per node
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["id"], "inner")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+            )
+        )
+        # checkpoint every iteration: the convergence aggregate below is an
+        # action anyway, and uncut lineage doubles the plan per iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.agg(
+            F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n")
+        ).collect()[0]["n"]
+        labels = new_labels.drop("_changed")
+        if not changed:
+            break
+    return labels
+
+
+def consecutive_component_ids(labels: DataFrame) -> DataFrame:
+    """(id, component) → (id, component, wcc bigint) with dense 0-based ids,
+    mirroring gds.wcc consecutiveIds=True (similar_entity.py:247-252)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("component")
+    distinct = labels.select("component").distinct().withColumn(
+        "wcc", F.dense_rank().over(w).cast("bigint") - 1
+    )
+    return labels.join(F.broadcast(distinct), on="component", how="inner")

@@ -1,0 +1,53 @@
+"""Entity / chunk embedding stage.
+
+Reference: EntityIndexManager / ChunkIndexManager
+(entity_indexer.py:53-298, chunk_indexer.py:54-120) — OpenAI-compatible
+embedding calls batched 32 at a time, only over rows with no embedding yet.
+
+Spark mapping: one Arrow-vectorized pandas UDF over
+``concat(entity_id, ' ', description)``; incremental behavior (I4) is an
+anti-join against the existing entity_embeddings table, not a flag column.
+The embedder is pluggable; the default is the deterministic hash-projection
+from functions/embedder.py (the oracle uses the identical function).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from graph_rag_agent_spark.config import EMBEDDING_DIM
+from graph_rag_agent_spark.functions.embedder import embed_text
+
+
+def embedding_text_col() -> F.Column:
+    """The text embedded per entity — id + description
+    (reference entity_indexer.py:53-56 text_node_properties=['id','description'])."""
+    return F.concat_ws(" ", F.col("entity_id"), F.col("description"))
+
+
+def embed_entities(
+    nodes: DataFrame,
+    existing: Optional[DataFrame] = None,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """nodes(entity_id, description, ...) → entity_embeddings(entity_id, embedding).
+
+    `existing` (previous entity_embeddings table) short-circuits rows already
+    embedded — the incremental path (reference embedding_manager.py:49-117).
+    """
+    todo = nodes.select("entity_id", embedding_text_col().alias("_text"))
+    if existing is not None:
+        todo = todo.join(existing.select("entity_id"), on="entity_id", how="left_anti")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = [embed_text(t, dim).tolist() for t in pdf["_text"].fillna("")]
+            yield pd.DataFrame({"entity_id": pdf["entity_id"], "embedding": embs})
+
+    fresh = todo.mapInPandas(run, schema="entity_id string, embedding array<float>")
+    if existing is not None:
+        fresh = fresh.unionByName(existing.select("entity_id", "embedding"))
+    return fresh

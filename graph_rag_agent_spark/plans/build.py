@@ -1,0 +1,180 @@
+"""End-to-end build orchestration.
+
+The reference's hard-coded Python orchestration (integrations/build/main.py:
+process_all → KnowledgeGraphBuilder → IndexCommunityBuilder → ChunkIndexBuilder)
+becomes a sequence of DataFrame stages, each materialized to a catalog table
+(the checkpoint) with a row in ``build_metrics`` (per-stage row counts +
+durations + run id — the per-partition lineage the north rule requires).
+
+Resumability: every stage reads its input from the previous stage's table;
+``resume=True`` skips stages whose output table already exists, and the
+extraction stage is always incremental via the extraction_cache anti-join.
+
+Tables written (SURVEY.md §1.4):
+  corpus, chunks, extraction_cache, nodes_raw, edges_raw, mentions_raw,
+  entity_embeddings, similar, wcc, nodes, edges, mentions,
+  entity_communities, communities, community_summaries, registry,
+  build_metrics
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from graph_rag_agent_spark.config import PipelineConfig
+from graph_rag_agent_spark.operators.canonicalize import canonicalize
+from graph_rag_agent_spark.operators.chunker import chunk_documents
+from graph_rag_agent_spark.operators.communities import (
+    community_membership,
+    community_rank,
+    detect_communities,
+    summarize_communities,
+)
+from graph_rag_agent_spark.operators.embeddings import embed_entities
+from graph_rag_agent_spark.operators.extraction import extract_chunks
+from graph_rag_agent_spark.operators.parsing import build_graph_tables
+from graph_rag_agent_spark.sources.catalog import TableCatalog
+
+
+class BuildPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: TableCatalog,
+        config: Optional[PipelineConfig] = None,
+        extractor=None,
+        run_id: Optional[str] = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.config = config or PipelineConfig()
+        self.extractor = extractor
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self._metrics: list = []
+
+    # -- lineage -----------------------------------------------------------
+    def _record(self, stage: str, df: DataFrame, t0: float) -> None:
+        self._metrics.append(
+            (stage, int(df.count()), int((time.time() - t0) * 1000), self.run_id)
+        )
+
+    def flush_metrics(self) -> None:
+        mdf = self.spark.createDataFrame(
+            self._metrics, "stage string, row_count bigint, duration_ms bigint, run_id string"
+        ).withColumn("recorded_at", F.current_timestamp())
+        self.catalog.write(mdf, "build_metrics", mode="append" if self.catalog.exists("build_metrics") else "overwrite")
+        self._metrics = []
+
+    def _save(self, df: DataFrame, name: str, stage: str, t0: float,
+              partition_by=None) -> DataFrame:
+        self.catalog.write(df, name, partition_by=partition_by)
+        out = self.catalog.read(name)
+        self._record(stage, out, t0)
+        return out
+
+    # -- stages -------------------------------------------------------------
+    def run(self, corpus: DataFrame, resume: bool = False) -> dict:
+        """corpus(repo, path, commit, lang, content) → all graph tables.
+
+        The corpus is repartitioned by repo-hash first (hot-repo skew: one
+        repo can hold half the rows — salting by hash spreads its files)."""
+        cat, cfg = self.catalog, self.config
+
+        t0 = time.time()
+        corpus = corpus.repartition(
+            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
+            F.pmod(F.xxhash64("repo", "path"), F.lit(1 << 16)),
+        )
+        if not (resume and cat.exists("corpus")):
+            self._save(corpus, "corpus", "corpus", t0)
+        corpus = cat.read("corpus")
+
+        t0 = time.time()
+        if not (resume and cat.exists("chunks")):
+            chunks = chunk_documents(
+                corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length
+            )
+            self._save(chunks, "chunks", "chunk", t0)
+        chunks = cat.read("chunks")
+
+        t0 = time.time()
+        cache = cat.read("extraction_cache") if cat.exists("extraction_cache") else None
+        results = extract_chunks(chunks, extractor=self.extractor, cache=cache)
+        if cache is not None:
+            # materialize before overwriting the parquet we are lazily reading
+            results = results.localCheckpoint(eager=True)
+        self._save(
+            results.select(F.col("chunk_id").alias("chunk_sha1"), "raw_result"),
+            "extraction_cache", "extract", t0,
+        )
+        results = cat.read("extraction_cache").select(
+            F.col("chunk_sha1").alias("chunk_id"), "raw_result"
+        )
+
+        t0 = time.time()
+        nodes_raw, edges_raw, mentions_raw = build_graph_tables(results)
+        nodes_raw = self._save(nodes_raw, "nodes_raw", "parse_nodes", t0)
+        t0 = time.time()
+        edges_raw = self._save(edges_raw, "edges_raw", "parse_edges", t0)
+        t0 = time.time()
+        mentions_raw = self._save(mentions_raw, "mentions_raw", "parse_mentions", t0)
+
+        t0 = time.time()
+        existing_emb = (
+            cat.read("entity_embeddings") if (resume and cat.exists("entity_embeddings")) else None
+        )
+        embeddings = embed_entities(nodes_raw, existing=existing_emb, dim=cfg.embedding_dim)
+        if existing_emb is not None:
+            # materialize before overwriting the parquet being lazily read
+            embeddings = embeddings.localCheckpoint(eager=True)
+        embeddings = self._save(embeddings, "entity_embeddings", "embed", t0)
+
+        t0 = time.time()
+        result = canonicalize(
+            nodes_raw, edges_raw, mentions_raw, embeddings,
+            cutoff=cfg.similarity_cutoff, topk=cfg.similarity_topk,
+            max_edit_distance=cfg.word_edit_distance,
+        )
+        self._save(result.similar, "similar", "similar_join", t0)
+        t0 = time.time()
+        self._save(result.wcc, "wcc", "wcc", t0)
+        t0 = time.time()
+        nodes = self._save(result.nodes, "nodes", "canonicalize_nodes", t0)
+        t0 = time.time()
+        edges = self._save(result.edges, "edges", "canonicalize_edges", t0)
+        t0 = time.time()
+        mentions = self._save(result.mentions, "mentions", "canonicalize_mentions", t0)
+
+        t0 = time.time()
+        entity_comms = detect_communities(
+            nodes, edges, max_levels=cfg.community_max_levels,
+            max_iter=cfg.community_max_iter,
+        )
+        entity_comms = self._save(entity_comms, "entity_communities", "communities_detect", t0)
+        t0 = time.time()
+        membership = community_membership(entity_comms)
+        membership = self._save(membership, "communities", "communities_membership", t0)
+        t0 = time.time()
+        rank = community_rank(membership, mentions)
+        summaries = summarize_communities(membership, nodes, edges, rank)
+        summaries = self._save(summaries, "community_summaries", "communities_summarize", t0)
+
+        # registry snapshot for incremental diffs (N1)
+        t0 = time.time()
+        registry = corpus.select(
+            "repo", "path",
+            F.sha2("content", 256).alias("content_sha256"),
+            F.current_timestamp().alias("processed_at"),
+        )
+        self._save(registry, "registry", "registry", t0)
+
+        self.flush_metrics()
+        return {
+            "chunks": chunks, "nodes": nodes, "edges": edges,
+            "mentions": mentions, "communities": membership,
+            "community_summaries": summaries,
+        }

@@ -1,0 +1,124 @@
+"""Extraction wire format, batching/repair, cache anti-join, parsing
+(reference entity_extractor.py, graph_writer.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.config import BATCH_SEPARATOR, UNKNOWN_ENTITY_TYPE
+from graph_rag_agent_spark.functions.extractor import (
+    DeterministicCodeExtractor,
+    dynamic_batch_size,
+    extract_batch,
+)
+from graph_rag_agent_spark.functions.wire_format import (
+    emit_entity,
+    emit_relationship,
+    parse_entities,
+    parse_relationships,
+)
+from graph_rag_agent_spark.operators.chunker import chunk_documents
+from graph_rag_agent_spark.operators.extraction import extract_chunks
+from graph_rag_agent_spark.operators.parsing import build_graph_tables
+
+SAMPLE = '''"""Module sample_mod。 demo"""
+
+import utils_core
+from io_layer import load_batch
+
+MAX_LIMIT = 10
+
+class DataLoader(BaseThing):
+    def load_batch(self, arg):
+        out = parse_config(arg)
+        return load_batch(out)
+'''
+
+
+def test_wire_format_roundtrip():
+    rec = emit_entity("A", "class", "desc") + "\n" + emit_relationship("A", "B", "calls", "d", 0.7)
+    assert parse_entities(rec) == [("A", "class", "desc")]
+    assert parse_relationships(rec) == [("A", "B", "calls", "d", 0.7)]
+
+
+def test_extractor_finds_planted_entities():
+    raw = DeterministicCodeExtractor()(SAMPLE)
+    ents = {e[0]: e[1] for e in parse_entities(raw)}
+    assert ents["sample_mod"] == "module"
+    assert ents["utils_core"] == "module"
+    assert ents["DataLoader"] == "class"
+    assert ents["MAX_LIMIT"] == "constant"
+    rels = {(r[0], r[2], r[1]) for r in parse_relationships(raw)}
+    assert ("sample_mod", "imports", "utils_core") in rels
+    assert ("DataLoader", "inherits", "BaseThing") in rels
+
+
+def test_dynamic_batch_size():
+    assert dynamic_batch_size([]) == 1
+    assert dynamic_batch_size([10_000]) == 1
+    assert dynamic_batch_size([10] * 5) > 1
+
+
+def test_extract_batch_mismatch_repair():
+    extractor = DeterministicCodeExtractor()
+
+    calls = {"n": 0}
+
+    def separator_eating(text: str) -> str:
+        calls["n"] += 1
+        # a broken "LLM" that strips the separator → count mismatch → repair
+        if BATCH_SEPARATOR in text:
+            return "garbage"
+        return extractor(text)
+
+    texts = [SAMPLE, SAMPLE.replace("sample_mod", "other_mod")]
+    # the joined call happens through _extract_joined which splits first;
+    # emulate a true batch mismatch by a wrapper that merges output
+    import graph_rag_agent_spark.functions.extractor as ext_mod
+
+    orig = ext_mod._extract_joined
+    ext_mod._extract_joined = lambda bt, ex: "no separators here"
+    try:
+        results = extract_batch(texts, extractor)
+    finally:
+        ext_mod._extract_joined = orig
+    assert len(results) == 2
+    assert parse_entities(results[0])  # repair pass produced real output
+
+
+def test_cache_anti_join(spark, tiny_corpus):
+    chunks = chunk_documents(tiny_corpus).cache()
+    some_id = chunks.select("chunk_id").first().chunk_id
+    cache = spark.createDataFrame(
+        [(some_id, '("entity" : "FROM_CACHE" : "class" : "cached")')],
+        "chunk_sha1 string, raw_result string",
+    )
+    out = extract_chunks(chunks, cache=cache)
+    row = out.filter(F.col("chunk_id") == some_id).collect()
+    assert len(row) == 1 and "FROM_CACHE" in row[0].raw_result
+    # all other chunks extracted fresh
+    n_distinct = chunks.select("chunk_id").distinct().count()
+    assert out.count() == n_distinct
+
+
+def test_build_graph_tables_placeholders_and_first_wins(spark):
+    raw1 = "\n".join([
+        emit_entity("A", "class", "a desc"),
+        emit_relationship("A", "Ghost", "calls", "d", 0.5),
+    ])
+    raw2 = "\n".join([
+        emit_entity("A", "function", "other desc"),  # later chunk_id loses
+        emit_relationship("A", "B", "calls", "d", 0.5),
+    ])
+    results = spark.createDataFrame(
+        [("c1", raw1), ("c2", raw2)], "chunk_id string, raw_result string"
+    )
+    nodes, edges, mentions = build_graph_tables(results)
+    nd = {r.entity_id: r for r in nodes.collect()}
+    # Ghost + B never declared → placeholder 未知 (graph_writer.py:74-98)
+    assert nd["Ghost"].entity_type == UNKNOWN_ENTITY_TYPE
+    assert nd["B"].entity_type == UNKNOWN_ENTITY_TYPE
+    # first-wins by chunk_id: c1's type survives
+    assert nd["A"].entity_type == "class"
+    assert edges.count() == 2
+    m = {(r.chunk_id, r.entity_id) for r in mentions.collect()}
+    assert ("c1", "Ghost") in m and ("c2", "B") in m and ("c1", "A") in m

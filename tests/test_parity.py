@@ -1,0 +1,65 @@
+"""The BASELINE.json gate: Spark pipeline vs pure-Python reference-faithful
+oracle — triple P/R ≥ 0.95 (we assert exact match) + content sha256
+invariant, end to end through canonicalization."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.oracle.reference_builder import build_reference_graph
+from graph_rag_agent_spark.plans.build import BuildPipeline
+from graph_rag_agent_spark.sources.catalog import TableCatalog
+from graph_rag_agent_spark.sources.corpus import generate_corpus_pdf
+
+
+def test_triple_parity_and_sha_invariant(spark):
+    n = 60
+    pdf = generate_corpus_pdf(n, seed=42)
+    corpus = spark.createDataFrame(
+        pdf, schema="repo string, path string, commit string, lang string, content string"
+    )
+    with tempfile.TemporaryDirectory(prefix="graft_parity_") as wh:
+        pipe = BuildPipeline(spark, TableCatalog(spark, wh))
+        out = pipe.run(corpus)
+        spark_triples = {
+            (r.subj, r.pred, r.obj)
+            for r in out["edges"].select("subj", "pred", "obj").collect()
+        }
+        oracle = build_reference_graph(pdf)
+        inter = spark_triples & oracle.triples
+        precision = len(inter) / len(spark_triples)
+        recall = len(inter) / len(oracle.triples)
+        assert precision >= 0.95, f"precision {precision}"
+        assert recall >= 0.95, f"recall {recall}"
+
+        # content sha256 invariant vs source table
+        chunks = out["chunks"]
+        src = corpus.select("repo", "path", F.sha2("content", 256).alias("want"))
+        bad = (
+            chunks.select("repo", "path", "content_sha256")
+            .dropDuplicates(["repo", "path"])
+            .join(src, on=["repo", "path"])
+            .filter(F.col("content_sha256") != F.col("want"))
+            .count()
+        )
+        assert bad == 0
+
+        # lineage metrics recorded per stage
+        metrics = pipe.catalog.read("build_metrics")
+        stages = {r.stage for r in metrics.collect()}
+        assert {"chunk", "extract", "canonicalize_edges", "communities_detect"} <= stages
+
+
+def test_resume_uses_extraction_cache(spark):
+    pdf = generate_corpus_pdf(30, seed=42)
+    corpus = spark.createDataFrame(
+        pdf, schema="repo string, path string, commit string, lang string, content string"
+    )
+    with tempfile.TemporaryDirectory(prefix="graft_resume_") as wh:
+        cat = TableCatalog(spark, wh)
+        out1 = BuildPipeline(spark, cat).run(corpus)
+        t1 = {(r.subj, r.pred, r.obj) for r in out1["edges"].select("subj", "pred", "obj").collect()}
+        # second run: cache table exists → all chunks are hits, result identical
+        out2 = BuildPipeline(spark, cat).run(corpus, resume=True)
+        t2 = {(r.subj, r.pred, r.obj) for r in out2["edges"].select("subj", "pred", "obj").collect()}
+        assert t1 == t2
