@@ -33,21 +33,42 @@ def embed_entities(
     existing: Optional[DataFrame] = None,
     dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
-    """nodes(entity_id, description, ...) → entity_embeddings(entity_id, embedding).
+    """nodes(entity_id, description, ...) →
+    entity_embeddings(entity_id, embedding, text_sha).
 
-    `existing` (previous entity_embeddings table) short-circuits rows already
-    embedded — the incremental path (reference embedding_manager.py:49-117).
-    """
-    todo = nodes.select("entity_id", embedding_text_col().alias("_text"))
-    if existing is not None:
-        todo = todo.join(existing.select("entity_id"), on="entity_id", how="left_anti")
+    `existing` (previous entity_embeddings table) short-circuits rows whose
+    embedded text is unchanged; a changed description re-embeds — the
+    text-hash equivalent of the reference's needs_reembedding flag
+    (embedding_manager.py:49-117). Embeddings of entities no longer in
+    `nodes` are dropped."""
+    cur = nodes.select(
+        "entity_id",
+        embedding_text_col().alias("_text"),
+        F.sha2(embedding_text_col(), 256).alias("text_sha"),
+    )
+    valid = None
+    if existing is not None and "text_sha" in existing.columns:
+        valid = existing.select("entity_id", "embedding", "text_sha").join(
+            cur.select("entity_id", "text_sha"),
+            on=["entity_id", "text_sha"],
+            how="left_semi",
+        )
+        todo = cur.join(valid.select("entity_id"), on="entity_id", how="left_anti")
+    else:
+        todo = cur
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             embs = [embed_text(t, dim).tolist() for t in pdf["_text"].fillna("")]
-            yield pd.DataFrame({"entity_id": pdf["entity_id"], "embedding": embs})
+            yield pd.DataFrame(
+                {
+                    "entity_id": pdf["entity_id"],
+                    "embedding": embs,
+                    "text_sha": pdf["text_sha"],
+                }
+            )
 
-    fresh = todo.mapInPandas(run, schema="entity_id string, embedding array<float>")
-    if existing is not None:
-        fresh = fresh.unionByName(existing.select("entity_id", "embedding"))
-    return fresh
+    fresh = todo.mapInPandas(
+        run, schema="entity_id string, embedding array<float>, text_sha string"
+    )
+    return fresh.unionByName(valid) if valid is not None else fresh

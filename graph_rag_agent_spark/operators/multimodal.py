@@ -65,7 +65,7 @@ def extract_features(
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 vec = decode(kind, bytes(payload) if payload is not None else b"")
                 feats.append([float(x) for x in vec])
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
@@ -73,6 +73,10 @@ def extract_features(
                     "feature": feats,
                 }
             )
+            # empty batches must keep the array column object-typed, or
+            # Arrow fails converting a float64 column to list<float>
+            out["feature"] = out["feature"].astype(object)
+            yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
@@ -121,6 +125,9 @@ def sample_frames(
                     out["media_id"].append(mid)
                     out["frame_ms"].append(ts)
                     out["feature"].append([float(x) for x in vec])
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["feature"] = pdf_out["feature"].astype(object)
+            pdf_out["frame_ms"] = pdf_out["frame_ms"].astype("int64")
+            yield pdf_out
 
     return media.mapInPandas(run, schema="media_id string, frame_ms int, feature array<float>")

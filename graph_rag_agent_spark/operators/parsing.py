@@ -11,22 +11,31 @@ whole-stage codegen; no Python in this stage):
 
 - E4/E5 parse      → regexp_extract_all(raw, pattern, 0) → explode →
                      regexp_extract per group
-- E6 placeholders  → endpoints LEFT ANTI JOIN declared entities → synth rows
-- E7 first-wins    → row_number() over (partition by entity_id
-                     order by chunk_id) == 1 (deterministic stand-in for the
-                     reference's thread-completion-order cache; documented
-                     deviation, same property set per name in practice)
-- E8 mentions      → per-chunk node set (declared ∪ placeholder endpoints),
-                     dropDuplicates
+- E6/E7/E8         → one per-chunk *occurrences* table (declared entity
+                     records flag 0; relationship endpoints flag 1 with the
+                     未知 placeholder props), from which
+                     nodes    = groupBy(entity_id).agg(min(struct(flag,
+                                type, desc))) — declared always beats
+                                placeholder, then lexicographic min: an
+                                ORDER-INDEPENDENT deterministic stand-in for
+                                the reference's thread-completion-order
+                                first-wins cache (documented deviation; the
+                                pure-Python oracle applies the same rule), and
+                     mentions = distinct (chunk_id, entity_id).
+                     Order-independence is what makes incremental GC exact:
+                     occurrences are chunk-provenanced, so deleting a doc =
+                     anti-join its chunks and re-derive — identical to a
+                     full rebuild.
 
-Scale notes: the only shuffles are the two dedup/groupBys on entity_id and
-(chunk_id, entity_id) — both well-distributed keys. Edges stay partitioned
-by chunk provenance; no driver-side collection anywhere.
+Scale notes: the only shuffles are the groupBys on entity_id and
+(chunk_id, entity_id) — well-distributed keys with map-side partial
+aggregation. Edges stay partitioned by chunk provenance; no driver-side
+collection anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from graph_rag_agent_spark.config import (
@@ -80,46 +89,59 @@ def parse_relationships(results: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_placeholder_nodes(entities: DataFrame, edges: DataFrame) -> DataFrame:
-    """Relationship endpoints never declared as entities → 未知 placeholder
-    rows, attributed to the chunk that referenced them (graph_writer.py:74-98)."""
-    endpoints = (
-        edges.select(F.col("chunk_id"), F.col("subj").alias("entity_id"))
-        .unionByName(edges.select(F.col("chunk_id"), F.col("obj").alias("entity_id")))
-        .dropDuplicates(["chunk_id", "entity_id"])
+def parse_occurrences(results: DataFrame) -> DataFrame:
+    """(chunk_id, raw_result) → occurrences(chunk_id, entity_id, placeholder,
+    entity_type, description): one row per (chunk, entity) with declared
+    entity records at placeholder=0 and relationship endpoints at
+    placeholder=1 carrying the 未知 props (graph_writer.py:74-98). The
+    chunk-provenanced superset from which nodes and mentions derive."""
+    entities = parse_entities(results).select(
+        "chunk_id", "entity_id", F.lit(0).alias("placeholder"),
+        "entity_type", "description",
     )
-    missing = endpoints.join(
-        entities.select("entity_id").dropDuplicates(["entity_id"]),
-        on="entity_id",
-        how="left_anti",
-    )
-    return missing.select(
-        "chunk_id",
-        "entity_id",
-        F.lit(UNKNOWN_ENTITY_TYPE).alias("entity_type"),
-        F.lit(UNKNOWN_ENTITY_DESCRIPTION).alias("description"),
-    )
-
-
-def build_graph_tables(results: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(chunk_id, raw_result) → (nodes, edges, mentions).
-
-    nodes(entity_id, entity_type, description)       — first-wins per id
-    edges(subj, pred, obj, description, weight, chunk_id)
-    mentions(chunk_id, entity_id)
-    """
-    entities = parse_entities(results)
     edges = parse_relationships(results)
-    placeholders = synthesize_placeholder_nodes(entities, edges)
-    all_entities = entities.unionByName(placeholders)
-
-    first_wins = Window.partitionBy("entity_id").orderBy("chunk_id")
-    nodes = (
-        all_entities.withColumn("_rn", F.row_number().over(first_wins))
-        .filter(F.col("_rn") == 1)
-        .select("entity_id", "entity_type", "description")
+    endpoints = (
+        edges.select("chunk_id", F.col("subj").alias("entity_id"))
+        .unionByName(edges.select("chunk_id", F.col("obj").alias("entity_id")))
+        .dropDuplicates(["chunk_id", "entity_id"])
+        .select(
+            "chunk_id", "entity_id", F.lit(1).alias("placeholder"),
+            F.lit(UNKNOWN_ENTITY_TYPE).alias("entity_type"),
+            F.lit(UNKNOWN_ENTITY_DESCRIPTION).alias("description"),
+        )
     )
-    mentions = all_entities.select("chunk_id", "entity_id").dropDuplicates(
+    return entities.unionByName(endpoints)
+
+
+def derive_nodes(occurrences: DataFrame) -> DataFrame:
+    """occurrences → nodes(entity_id, entity_type, description): declared
+    props beat placeholder props, then lexicographic min — order-independent
+    (see module docstring)."""
+    return (
+        occurrences.groupBy("entity_id")
+        .agg(
+            F.min(F.struct("placeholder", "entity_type", "description")).alias("_p")
+        )
+        .select(
+            "entity_id",
+            F.col("_p.entity_type").alias("entity_type"),
+            F.col("_p.description").alias("description"),
+        )
+    )
+
+
+def derive_mentions(occurrences: DataFrame) -> DataFrame:
+    """occurrences → mentions(chunk_id, entity_id): every entity a chunk
+    declared or referenced (E8 provenance)."""
+    return occurrences.select("chunk_id", "entity_id").dropDuplicates(
         ["chunk_id", "entity_id"]
     )
-    return nodes, edges, mentions
+
+
+def build_graph_tables(
+    results: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(chunk_id, raw_result) → (nodes, edges, mentions)."""
+    occurrences = parse_occurrences(results)
+    edges = parse_relationships(results)
+    return derive_nodes(occurrences), edges, derive_mentions(occurrences)

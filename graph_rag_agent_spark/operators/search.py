@@ -1,0 +1,145 @@
+"""Query-side retrieval operators over the built graph (reference §2.8).
+
+Q1 local search  — from seed entities: top chunks by mention frequency,
+                   top communities by (rank, weight), inside/outside
+                   relationships by weight (search/local_search.py:86-137;
+                   limits settings.py:261-274).
+Q2 weights       — community weight = count(distinct mentioning chunk).
+Q3 global search — map over communities at a level, reduce (pluggable
+                   map/reduce fns; deterministic templates by default).
+Q4 top-k         — Window rank / orderBy().limit() everywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+TOP_CHUNKS = 3
+TOP_COMMUNITIES = 3
+TOP_RELATIONSHIPS = 10
+
+
+def seed_entities_by_similarity(
+    embeddings: DataFrame, query_embedding: Sequence[float], k: int = 10
+) -> DataFrame:
+    """Vector top-k seed selection (stands in for the Neo4j vector index)."""
+    from graph_rag_agent_spark.operators.similarity import cosine_col
+
+    q = F.array(*[F.lit(float(x)) for x in query_embedding])
+    return (
+        embeddings.select(
+            "entity_id", cosine_col(F.col("embedding").cast("array<double>"), q).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("entity_id"))
+        .limit(k)
+    )
+
+
+def top_chunks_for_seeds(
+    mentions: DataFrame, chunks: DataFrame, seeds: DataFrame, limit: int = TOP_CHUNKS
+) -> DataFrame:
+    """Chunks mentioning the most seed entities, freq desc (Q1)."""
+    freq = (
+        mentions.join(seeds.select("entity_id"), on="entity_id", how="left_semi")
+        .groupBy("chunk_id")
+        .agg(F.countDistinct("entity_id").alias("freq"))
+    )
+    return (
+        freq.join(chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"]), on="chunk_id")
+        .orderBy(F.desc("freq"), F.asc("chunk_id"))
+        .limit(limit)
+    )
+
+
+def community_weights(membership: DataFrame, mentions: DataFrame) -> DataFrame:
+    """Q2: weight = count(distinct chunk) mentioning any member."""
+    return (
+        membership.join(
+            mentions.withColumnRenamed("entity_id", "member_id"), on="member_id"
+        )
+        .groupBy("community_id")
+        .agg(F.countDistinct("chunk_id").alias("weight"))
+    )
+
+
+def top_communities_for_seeds(
+    membership: DataFrame,
+    summaries: DataFrame,
+    mentions: DataFrame,
+    seeds: DataFrame,
+    limit: int = TOP_COMMUNITIES,
+) -> DataFrame:
+    """Communities containing seed entities, ordered by (rank, weight) desc."""
+    hit = membership.join(
+        seeds.select(F.col("entity_id").alias("member_id")), on="member_id", how="left_semi"
+    ).select("community_id").dropDuplicates()
+    weights = community_weights(membership, mentions)
+    return (
+        hit.join(summaries, on="community_id")
+        .join(weights, on="community_id", how="left")
+        .fillna({"weight": 0})
+        .orderBy(F.desc("rank"), F.desc("weight"), F.asc("community_id"))
+        .limit(limit)
+        .select("community_id", "rank", "weight", "summary")
+    )
+
+
+def seed_relationships(
+    edges: DataFrame, seeds: DataFrame, limit: int = TOP_RELATIONSHIPS
+) -> tuple[DataFrame, DataFrame]:
+    """(inside, outside) relationships by weight desc (Q1): inside = both
+    endpoints are seeds, outside = exactly one endpoint is a seed."""
+    s = seeds.select("entity_id")
+    ss = s.withColumnRenamed("entity_id", "subj").withColumn("_ss", F.lit(1))
+    so = s.withColumnRenamed("entity_id", "obj").withColumn("_so", F.lit(1))
+    flagged = edges.join(F.broadcast(ss), on="subj", how="left").join(
+        F.broadcast(so), on="obj", how="left"
+    )
+    inside = flagged.filter(
+        F.col("_ss").isNotNull() & F.col("_so").isNotNull()
+    ).select(edges.columns)
+    outside = flagged.filter(
+        F.col("_ss").isNotNull() != F.col("_so").isNotNull()
+    ).select(edges.columns)
+    order = [F.desc("weight"), F.asc("subj"), F.asc("obj")]
+    return (
+        inside.orderBy(*order).limit(limit),
+        outside.orderBy(*order).limit(limit),
+    )
+
+
+def global_search_map(
+    summaries: DataFrame, level: int = 0, map_fn=None
+) -> DataFrame:
+    """Q3 map phase: per-community intermediate answer. map_fn is the
+    pluggable LLM slot; the default template extracts the summary line."""
+    at_level = summaries.filter(F.col("level") == level)
+    if map_fn is None:
+        return at_level.select(
+            "community_id",
+            F.concat(F.lit("[map] "), F.col("summary")).alias("intermediate"),
+        )
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "community_id": pdf["community_id"],
+                    "intermediate": [map_fn(s) for s in pdf["full_content"]],
+                }
+            )
+
+    return at_level.mapInPandas(run, schema="community_id string, intermediate string")
+
+
+def global_search_reduce(mapped: DataFrame, top_n: int = 20) -> str:
+    """Q3 reduce phase: deterministic concatenation of the top intermediate
+    results (the LLM-reduce slot). The only driver-side collect in the
+    query path, bounded by top_n."""
+    rows = (
+        mapped.orderBy(F.asc("community_id")).limit(top_n).collect()
+    )
+    return "\n".join(r.intermediate for r in rows)

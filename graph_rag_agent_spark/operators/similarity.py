@@ -80,7 +80,7 @@ def lsh_topk(
                     sig = "".join(
                         "1" if planes[t, p] @ v >= 0 else "0" for p in range(n_planes)
                     )
-                    ids.append(vid)
+                    ids.append(str(vid))
                     keys.append(f"{t}:{sig}")
             yield pd.DataFrame({"vec_id": ids, "bucket": keys})
 

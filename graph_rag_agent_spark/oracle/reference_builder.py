@@ -112,6 +112,7 @@ def build_reference_graph(
     extractor = extractor or DeterministicCodeExtractor()
     g = OracleGraph()
     extraction_cache: Dict[str, str] = {}
+    node_occ: Dict[str, Tuple[int, str, str]] = {}
 
     # ---- chunk + extract + parse (serial, file order) ----------------------
     for row in corpus.itertuples(index=False):
@@ -126,24 +127,29 @@ def build_reference_graph(
                 raw = extractor(rec.text)
                 extraction_cache[rec.chunk_id] = raw
             chunk_entities = set()
+
+            def note(eid: str, flag: int, etype: str, desc: str) -> None:
+                cand = (flag, etype, desc)
+                prev = node_occ.get(eid)
+                if prev is None or cand < prev:
+                    node_occ[eid] = cand
+
             for eid, etype, desc in parse_entities(raw):
-                if eid not in g.nodes:
-                    g.nodes[eid] = (etype, desc)
+                note(eid, 0, etype, desc)
                 chunk_entities.add(eid)
             for src, tgt, rtype, desc, weight in parse_relationships(raw):
                 g.edges.append((src, rtype, tgt, desc, weight, rec.chunk_id))
-                chunk_entities.add(src)
-                chunk_entities.add(tgt)
+                for end in (src, tgt):
+                    # endpoint occurrence: placeholder props unless declared
+                    note(end, 1, UNKNOWN_ENTITY_TYPE, UNKNOWN_ENTITY_DESCRIPTION)
+                    chunk_entities.add(end)
             for eid in chunk_entities:
                 g.mentions.add((rec.chunk_id, eid))
 
-    # placeholder synthesis: endpoints never declared anywhere (E6, matching
-    # the Spark global left-anti rule)
-    declared = set(g.nodes)
-    for src, _, tgt, _, _, _ in g.edges:
-        for end in (src, tgt):
-            if end not in declared and end not in g.nodes:
-                g.nodes[end] = (UNKNOWN_ENTITY_TYPE, UNKNOWN_ENTITY_DESCRIPTION)
+    # node props: min over (placeholder_flag, type, desc) — the same
+    # order-independent rule as operators/parsing.derive_nodes
+    for eid, (_, etype, desc) in node_occ.items():
+        g.nodes[eid] = (etype, desc)
 
     # ---- embed + SIMILAR + WCC ---------------------------------------------
     ids = sorted(g.nodes)

@@ -36,7 +36,6 @@ from graph_rag_agent_spark.operators.communities import (
 )
 from graph_rag_agent_spark.operators.embeddings import embed_entities
 from graph_rag_agent_spark.operators.extraction import extract_chunks
-from graph_rag_agent_spark.operators.parsing import build_graph_tables
 from graph_rag_agent_spark.sources.catalog import TableCatalog
 
 
@@ -116,12 +115,24 @@ class BuildPipeline:
         )
 
         t0 = time.time()
-        nodes_raw, edges_raw, mentions_raw = build_graph_tables(results)
-        nodes_raw = self._save(nodes_raw, "nodes_raw", "parse_nodes", t0)
+        from graph_rag_agent_spark.operators.parsing import (
+            derive_mentions,
+            derive_nodes,
+            parse_occurrences,
+            parse_relationships,
+        )
+
+        occurrences = self._save(
+            parse_occurrences(results), "occurrences", "parse_occurrences", t0
+        )
         t0 = time.time()
-        edges_raw = self._save(edges_raw, "edges_raw", "parse_edges", t0)
+        edges_raw = self._save(parse_relationships(results), "edges_raw", "parse_edges", t0)
         t0 = time.time()
-        mentions_raw = self._save(mentions_raw, "mentions_raw", "parse_mentions", t0)
+        nodes_raw = self._save(derive_nodes(occurrences), "nodes_raw", "parse_nodes", t0)
+        t0 = time.time()
+        mentions_raw = self._save(
+            derive_mentions(occurrences), "mentions_raw", "parse_mentions", t0
+        )
 
         t0 = time.time()
         existing_emb = (

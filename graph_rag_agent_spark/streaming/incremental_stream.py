@@ -1,0 +1,65 @@
+"""Streaming wrappers.
+
+The reference has NO stream processing — its nearest analogue is the
+polling incremental-update daemon (incremental_update_scheduler.py, N9),
+which we map to batch-incremental runs. These helpers put Structured
+Streaming plumbing around that mapping:
+
+- ``corpus_stream`` + ``run_incremental_stream``: watch a corpus directory
+  with Trigger.AvailableNow; each micro-batch drives the same
+  IncrementalUpdatePipeline.run_once the batch path uses (foreachBatch =
+  exactly-once per-batch semantics against the catalog tables).
+- ``windowed_event_counts``: watermarked sliding-window aggregation over an
+  events stream — the standard late-data-tolerant rollup shape, exercised
+  in tests via the memory sink on the driver's events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def corpus_stream(spark: SparkSession, path: str) -> DataFrame:
+    return spark.readStream.schema(CORPUS_SCHEMA).parquet(path)
+
+
+def run_incremental_stream(spark: SparkSession, path: str, pipeline, checkpoint: str):
+    """Trigger.AvailableNow over a corpus directory; each batch is one
+    incremental pipeline pass. Returns the finished StreamingQuery."""
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pipeline.run_once(batch_df)
+
+    q = (
+        corpus_stream(spark, path)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """events(ts, event_type, value) → watermarked windowed counts/sums.
+    Works identically on a static frame (tests) and a stream."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return src.groupBy(win.alias("w"), "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type", "n_events", "total_value",
+    )

@@ -1,0 +1,124 @@
+"""Incremental build: registry diff, refcount GC, incremental ≡ full rebuild
+(reference N1-N7)."""
+
+import tempfile
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.operators.incremental import (
+    detect_changes,
+    gc_deleted_docs,
+    latest_wins,
+    upsert_nodes,
+)
+from graph_rag_agent_spark.plans.build import BuildPipeline
+from graph_rag_agent_spark.plans.incremental_update import IncrementalUpdatePipeline
+from graph_rag_agent_spark.sources.catalog import TableCatalog
+from graph_rag_agent_spark.sources.corpus import CORPUS_COLUMNS, generate_corpus_pdf
+
+CORPUS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _corpus_df(spark, pdf):
+    return spark.createDataFrame(pdf, schema=CORPUS_SCHEMA)
+
+
+def test_detect_changes(spark):
+    v1 = pd.DataFrame(
+        [("r", "a.py", "c1", "py", "aaa"), ("r", "b.py", "c2", "py", "bbb"),
+         ("r", "c.py", "c3", "py", "ccc")],
+        columns=CORPUS_COLUMNS,
+    )
+    v2 = pd.DataFrame(
+        [("r", "a.py", "c1", "py", "aaa"),          # unchanged
+         ("r", "b.py", "c2", "py", "bbb-CHANGED"),  # modified
+         ("r", "d.py", "c4", "py", "ddd")],         # added (c.py deleted)
+        columns=CORPUS_COLUMNS,
+    )
+    registry = _corpus_df(spark, v1).select(
+        "repo", "path", F.sha2("content", 256).alias("content_sha256"),
+        F.current_timestamp().alias("processed_at"),
+    )
+    ch = detect_changes(_corpus_df(spark, v2), registry)
+    assert {r.path for r in ch.added.collect()} == {"d.py"}
+    assert {r.path for r in ch.modified.collect()} == {"b.py"}
+    assert {r.path for r in ch.deleted.collect()} == {"c.py"}
+
+
+def test_gc_refcount(spark):
+    chunks = spark.createDataFrame(
+        [("r", "a.py", "ch1"), ("r", "b.py", "ch2")],
+        "repo string, path string, chunk_id string",
+    )
+    nodes = spark.createDataFrame(
+        [("only_a", "t", "d"), ("shared", "t", "d"), ("only_b", "t", "d")],
+        "entity_id string, entity_type string, description string",
+    )
+    edges = spark.createDataFrame(
+        [("only_a", "p", "shared", "d", 1.0, "ch1"),
+         ("shared", "p", "only_b", "d", 1.0, "ch2")],
+        "subj string, pred string, obj string, description string, weight double, chunk_id string",
+    )
+    mentions = spark.createDataFrame(
+        [("ch1", "only_a"), ("ch1", "shared"), ("ch2", "shared"), ("ch2", "only_b")],
+        "chunk_id string, entity_id string",
+    )
+    deleted = spark.createDataFrame([("r", "a.py")], "repo string, path string")
+    n2, e2, m2 = gc_deleted_docs(nodes, edges, mentions, chunks, deleted)
+    assert {r.entity_id for r in n2.collect()} == {"shared", "only_b"}
+    # ch1's edge is provenance-GC'd even though 'shared' survives
+    assert {(r.subj, r.obj) for r in e2.collect()} == {("shared", "only_b")}
+    assert {r.chunk_id for r in m2.collect()} == {"ch2"}
+
+
+def test_upsert_and_latest_wins(spark):
+    existing = spark.createDataFrame(
+        [("A", "class", "old")], "entity_id string, entity_type string, description string"
+    )
+    updates = spark.createDataFrame(
+        [("A", "class", "new"), ("B", "module", "b")],
+        "entity_id string, entity_type string, description string",
+    )
+    got = {r.entity_id: r.description for r in upsert_nodes(existing, updates).collect()}
+    assert got == {"A": "new", "B": "b"}
+
+    ts = spark.createDataFrame(
+        [("k", 1, "old"), ("k", 2, "new")], "key string, last_updated int, v string"
+    )
+    assert latest_wins(ts, ["key"]).collect()[0].v == "new"
+
+
+def test_incremental_equals_full_rebuild(spark):
+    base = generate_corpus_pdf(40, seed=42)
+    # v2: drop 5 docs, modify 3, add 4 new ones
+    v2 = base.iloc[5:].copy()
+    v2.loc[v2.index[:3], "content"] = (
+        v2.loc[v2.index[:3], "content"] + "\n\nclass AddedThing(DataLoader):\n    pass\n"
+    )
+    extra = generate_corpus_pdf(60, seed=43).iloc[-4:]
+    v2 = pd.concat([v2, extra], ignore_index=True)
+
+    with tempfile.TemporaryDirectory(prefix="graft_incr_") as wh1, \
+         tempfile.TemporaryDirectory(prefix="graft_full_") as wh2:
+        cat1 = TableCatalog(spark, wh1)
+        BuildPipeline(spark, cat1).run(_corpus_df(spark, base))
+        res = IncrementalUpdatePipeline(spark, cat1).run_once(_corpus_df(spark, v2))
+        assert res["changed"]
+        assert res["added"] == 4 and res["modified"] == 3 and res["deleted"] == 5
+        incr = {
+            (r.subj, r.pred, r.obj)
+            for r in cat1.read("edges").select("subj", "pred", "obj").collect()
+        }
+
+        cat2 = TableCatalog(spark, wh2)
+        BuildPipeline(spark, cat2).run(_corpus_df(spark, v2))
+        full = {
+            (r.subj, r.pred, r.obj)
+            for r in cat2.read("edges").select("subj", "pred", "obj").collect()
+        }
+        assert incr == full
+
+        # second pass with identical corpus → no-op
+        res2 = IncrementalUpdatePipeline(spark, cat1).run_once(_corpus_df(spark, v2))
+        assert res2["changed"] is False

@@ -1,0 +1,124 @@
+"""Query-side retrieval (Q1-Q4) and streaming wrappers."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.functions.embedder import embed_text
+from graph_rag_agent_spark.operators.search import (
+    global_search_map,
+    global_search_reduce,
+    seed_entities_by_similarity,
+    seed_relationships,
+    top_chunks_for_seeds,
+    top_communities_for_seeds,
+)
+from graph_rag_agent_spark.streaming.incremental_stream import windowed_event_counts
+
+
+def _graph(spark):
+    nodes = spark.createDataFrame(
+        [("DataLoader", "class", "x"), ("HttpClient", "class", "y"), ("parse_config", "function", "z")],
+        "entity_id string, entity_type string, description string",
+    )
+    emb = spark.createDataFrame(
+        [(r.entity_id, [float(x) for x in embed_text(f"{r.entity_id} {r.description}")])
+         for r in nodes.collect()],
+        "entity_id string, embedding array<float>",
+    )
+    edges = spark.createDataFrame(
+        [("DataLoader", "calls", "parse_config", "d", 2.0, "c1"),
+         ("DataLoader", "calls", "HttpClient", "d", 1.0, "c2"),
+         ("HttpClient", "refs", "parse_config", "d", 0.5, "c3")],
+        "subj string, pred string, obj string, description string, weight double, chunk_id string",
+    )
+    chunks = spark.createDataFrame(
+        [("c1", "text one"), ("c2", "text two"), ("c3", "text three")],
+        "chunk_id string, text string",
+    )
+    mentions = spark.createDataFrame(
+        [("c1", "DataLoader"), ("c1", "parse_config"), ("c2", "DataLoader"),
+         ("c2", "HttpClient"), ("c3", "HttpClient"), ("c3", "parse_config")],
+        "chunk_id string, entity_id string",
+    )
+    membership = spark.createDataFrame(
+        [("0-0", 0, "DataLoader"), ("0-0", 0, "parse_config"), ("0-1", 0, "HttpClient")],
+        "community_id string, level int, member_id string",
+    )
+    summaries = spark.createDataFrame(
+        [("0-0", 0, 5, "sum zero", "full zero"), ("0-1", 0, 2, "sum one", "full one")],
+        "community_id string, level int, rank long, summary string, full_content string",
+    )
+    return nodes, emb, edges, chunks, mentions, membership, summaries
+
+
+def test_local_search_path(spark):
+    nodes, emb, edges, chunks, mentions, membership, summaries = _graph(spark)
+    q = embed_text("DataLoader class x")
+    seeds = seed_entities_by_similarity(emb, [float(x) for x in q], k=1)
+    assert seeds.collect()[0].entity_id == "DataLoader"
+
+    top_chunks = top_chunks_for_seeds(mentions, chunks, seeds)
+    assert {r.chunk_id for r in top_chunks.collect()} <= {"c1", "c2"}
+
+    comms = top_communities_for_seeds(membership, summaries, mentions, seeds)
+    got = comms.collect()
+    # 0-0 members (DataLoader, parse_config) are mentioned in c1, c2, c3
+    assert got[0].community_id == "0-0" and got[0].weight == 3
+
+    inside, outside = seed_relationships(edges, seeds)
+    ins = {(r.subj, r.obj) for r in inside.collect()}
+    outs = {(r.subj, r.obj) for r in outside.collect()}
+    assert ins == set()  # only one seed → no both-endpoint edges
+    assert ("DataLoader", "parse_config") in outs and ("DataLoader", "HttpClient") in outs
+
+
+def test_global_search_map_reduce(spark):
+    *_, membership, summaries = _graph(spark)
+    mapped = global_search_map(summaries, level=0)
+    assert mapped.count() == 2
+    reduced = global_search_reduce(mapped)
+    assert "[map] sum zero" in reduced and "[map] sum one" in reduced
+    custom = global_search_map(summaries, level=0, map_fn=lambda fc: fc.upper())
+    assert {r.intermediate for r in custom.collect()} == {"FULL ZERO", "FULL ONE"}
+
+
+def test_windowed_event_counts_static(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = windowed_event_counts(events, window="1 hour")
+    rows = out.collect()
+    assert len(rows) > 0
+    total = sum(r.n_events for r in rows)
+    assert total == events.count()
+
+
+def test_windowed_event_counts_streaming(spark):
+    import shutil
+
+    with tempfile.TemporaryDirectory(prefix="graft_stream_") as tmp:
+        # the file stream source requires a directory of files
+        src_dir = f"{tmp}/in"
+        ckpt = f"{tmp}/ckpt"
+        import os
+
+        os.makedirs(src_dir)
+        shutil.copy("/root/testdata/sf0.001/events.parquet", src_dir)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .parquet(src_dir)
+        )
+        agg = windowed_event_counts(stream, window="1 hour")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("winout")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        static_total = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+        got = spark.sql("SELECT sum(n_events) AS n FROM winout").collect()[0].n
+        assert got == static_total
