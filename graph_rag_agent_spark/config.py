@@ -64,6 +64,7 @@ COMMUNITY_TOP_SUMMARIES = 200  # reference summary/leiden.py:10-151 LIMIT 200
 # ---- connected components -----------------------------------------------------
 CC_MAX_ITERATIONS = 50    # safety bound; similarity clusters have tiny diameter
 CC_CHECKPOINT_EVERY = 3   # localCheckpoint cadence to cut lineage
+CC_DRIVER_THRESHOLD = 1_000_000  # ≤ this many edges → driver union-find (one job)
 
 # ---- misc ---------------------------------------------------------------------
 SEED = 42

@@ -21,10 +21,64 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from graph_rag_agent_spark.config import CC_MAX_ITERATIONS
+from graph_rag_agent_spark.config import CC_DRIVER_THRESHOLD, CC_MAX_ITERATIONS
 
 
 def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    vertex_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = CC_MAX_ITERATIONS,
+    driver_threshold: int = CC_DRIVER_THRESHOLD,
+) -> DataFrame:
+    """→ (id, component) with component = min reachable vertex id.
+
+    Size-adaptive: below `driver_threshold` edges the component graph is
+    collected and solved with a union-find on the driver (one job instead
+    of ~3 per iteration — near-duplicate pair graphs are tiny relative to
+    the corpus, exactly like GDS solves WCC in memory); above it, the
+    distributed min-label-propagation loop runs. Both produce identical
+    labels (min vertex id per component)."""
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        return _driver_union_find(vertices, edges, vertex_col, src_col, dst_col)
+    return _distributed_cc(vertices, edges, vertex_col, src_col, dst_col, max_iterations)
+
+
+def _driver_union_find(
+    vertices: DataFrame, edges: DataFrame, vertex_col: str, src_col: str, dst_col: str
+) -> DataFrame:
+    parent: dict = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for row in edges.select(src_col, dst_col).collect():
+        ra, rb = find(row[src_col]), find(row[dst_col])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    pairs = [(v, find(v)) for v in parent]
+    spark = vertices.sparkSession
+    if pairs:
+        active = spark.createDataFrame(pairs, f"{vertex_col} string, component string")
+    else:
+        active = spark.createDataFrame([], f"{vertex_col} string, component string")
+    return (
+        vertices.select(F.col(vertex_col).alias("id"))
+        .join(active.withColumnRenamed(vertex_col, "id"), on="id", how="left")
+        .withColumn("component", F.coalesce("component", F.col("id")))
+    )
+
+
+def _distributed_cc(
     vertices: DataFrame,
     edges: DataFrame,
     vertex_col: str = "id",

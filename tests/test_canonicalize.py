@@ -46,9 +46,14 @@ def _emb_df(spark, names):
 def test_connected_components(spark):
     verts = spark.createDataFrame([(x,) for x in "abcde"], "id string")
     edges = spark.createDataFrame([("a", "b"), ("b", "c"), ("d", "e")], "src string, dst string")
-    comp = {r.id: r.component for r in connected_components(verts, edges).collect()}
-    assert comp["a"] == comp["b"] == comp["c"] == "a"
-    assert comp["d"] == comp["e"] == "d"
+    # both code paths must agree: driver union-find and distributed loop
+    for threshold in (1_000_000, 0):
+        comp = {
+            r.id: r.component
+            for r in connected_components(verts, edges, driver_threshold=threshold).collect()
+        }
+        assert comp["a"] == comp["b"] == comp["c"] == "a"
+        assert comp["d"] == comp["e"] == "d"
     dense = consecutive_component_ids(connected_components(verts, edges))
     wccs = {r.id: r.wcc for r in dense.collect()}
     assert sorted(set(wccs.values())) == [0, 1]

@@ -1,0 +1,80 @@
+"""Plan-quality gate: asserts the physical plans of key queries have the
+properties a 100 TB deployment needs — filter pushdown into the parquet
+scan, column pruning (ReadSchema smaller than the table), broadcast joins
+for small dimensions, and whole-stage codegen coverage.
+
+Usage: python tools/explain_check.py [sf_dir]    (exit 1 on any violation)
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from graph_rag_agent_spark.session import get_spark  # noqa: E402
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-check", master="local[8]", shuffle_partitions=8)
+    failures = []
+
+    # 1. filter pushdown + column pruning on a filtered projection
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    q1 = docs.filter(F.col("lang") == "en").select("doc_id", F.length("text").alias("n"))
+    p1 = plan_of(q1)
+    if "lang" not in p1.split("DataFilters")[1][:200] if "DataFilters" in p1 else True:
+        failures.append("q1: lang filter not pushed to scan")
+    scan_line = next((l for l in p1.splitlines() if "FileScan" in l), "")
+    if "source" in scan_line.split("ReadSchema")[-1] if "ReadSchema" in scan_line else False:
+        failures.append("q1: unused column 'source' read from parquet")
+    for col in ("source", "n_chars"):
+        if f"{col}#" in scan_line.split("FileScan parquet [")[-1].split("]")[0]:
+            failures.append(f"q1: unused column '{col}' not pruned")
+
+    # 2. dimension joins go broadcast (no shuffle of the fact table per dim)
+    p2 = plan_of(entry_mod.queries()["regional_revenue"](spark, sf))
+    if p2.count("BroadcastHashJoin") < 3:
+        failures.append("regional_revenue: expected 3 broadcast joins, plan:\n" + p2[:800])
+    if "SortMergeJoin" in p2:
+        failures.append("regional_revenue: unexpected sort-merge join")
+
+    # 3. whole-stage codegen present in the aggregation query (execute first
+    # so AQE finalizes the plan — codegen spans only exist in the final plan)
+    q3 = entry_mod.queries()["tpch_q1"](spark, sf)
+    q3.collect()  # count() would spawn a separate query execution; collect
+    p3 = plan_of(q3)  # finalizes THIS frame's AQE plan
+    # codegen spans render as "*(n) Operator" in the final AQE plan
+    if "WholeStageCodegen" not in p3 and "*(" not in p3:
+        failures.append("tpch_q1: no whole-stage codegen spans")
+    if "isFinalPlan=true" not in p3:
+        failures.append("tpch_q1: AQE plan did not finalize")
+    if "PushedFilters" in p3 or "DataFilters" in p3:
+        if "l_shipdate" not in p3:
+            failures.append("tpch_q1: shipdate filter not pushed")
+
+    # 4. text-analysis queries stay fully JVM-side (no Python eval nodes)
+    for name in ("token_counts", "quality_scores", "language_id", "fingerprints"):
+        p = plan_of(entry_mod.queries()[name](spark, sf))
+        if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+            failures.append(f"{name}: Python UDF in the plan — should be pure SQL exprs")
+
+    spark.stop()
+    if failures:
+        print("PLAN CHECK FAILURES:")
+        for f in failures:
+            print(" -", f)
+        sys.exit(1)
+    print("all plan checks passed")
+
+
+if __name__ == "__main__":
+    main()
