@@ -306,9 +306,16 @@ def canonicalize(
     topk: int = SIMILARITY_TOPK,
     max_edit_distance: int = WORD_EDIT_DISTANCE,
 ) -> CanonicalizationResult:
-    """Full D2-D14 sequence. Two merge phases, both driven by the same
-    canonical-map machinery; every intermediate is small relative to edges
-    so the maps broadcast."""
+    """Full D2-D14 sequence.
+
+    The two merge phases (edit-distance groups, then max-degree
+    disambiguation) COMPOSE into one canonical map before touching the edge
+    table: phase A's degrees come from a lazy phase-M-mapped aggregation,
+    then combined = disambig ∘ merge is applied in a single broadcast-join
+    pass. Map composition preserves the final (subj, pred, obj) set (dedup
+    after composed mapping ≡ dedup after each phase) while halving the
+    full-edge-table shuffles — the edge table is the 10^12-row side; the
+    maps are the tiny side."""
     similar = similar_edges(embeddings, cutoff=cutoff, topk=topk).localCheckpoint(eager=True)
     labels = wcc_labels(embeddings, similar).localCheckpoint(eager=True)
 
@@ -319,17 +326,40 @@ def canonicalize(
         .select("entity_id", F.col("group_id").alias("canonical_id"))
         .localCheckpoint(eager=True)
     )
-    nodes1, edges1, mentions1 = apply_canonical_map(nodes, edges, mentions, merge_map)
-    nodes1 = nodes1.localCheckpoint(eager=True)
-    edges1 = edges1.localCheckpoint(eager=True)
 
-    # phase A: disambiguation/alignment over surviving wcc co-members
-    surviving_labels = (
-        labels.join(F.broadcast(merge_map), on="entity_id", how="left_anti")
-        .join(nodes1.select("entity_id"), on="entity_id", how="inner")
+    # phase A degrees: distinct triples after the (lazy) phase-M mapping
+    bmerge = F.broadcast(merge_map)
+    edges_m = (
+        edges.join(bmerge.withColumnRenamed("entity_id", "subj").withColumnRenamed("canonical_id", "_cs"), on="subj", how="left")
+        .join(bmerge.withColumnRenamed("entity_id", "obj").withColumnRenamed("canonical_id", "_co"), on="obj", how="left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_co", "obj").alias("obj"),
+        )
+        .filter(F.col("subj") != F.col("obj"))
+        .dropDuplicates(["subj", "pred", "obj"])
     )
-    disambig_map = disambiguation_map(surviving_labels, edges1).localCheckpoint(eager=True)
-    nodes2, edges2, mentions2 = apply_canonical_map(nodes1.drop("aligned_from"), edges1.drop("support"), mentions1, disambig_map)
+    surviving_labels = labels.join(bmerge, on="entity_id", how="left_anti")
+    disambig_map = disambiguation_map(surviving_labels, edges_m).localCheckpoint(eager=True)
+
+    # combined map: entity →(M)→ group rep →(A)→ canonical
+    dis_renamed = disambig_map.select(
+        F.col("entity_id").alias("_g"), F.col("canonical_id").alias("_final")
+    )
+    chained = (
+        merge_map.join(
+            F.broadcast(dis_renamed),
+            merge_map["canonical_id"] == dis_renamed["_g"],
+            "left",
+        )
+        .select(
+            "entity_id", F.coalesce("_final", "canonical_id").alias("canonical_id")
+        )
+    )
+    combined_map = chained.unionByName(disambig_map).localCheckpoint(eager=True)
+
+    nodes2, edges2, mentions2 = apply_canonical_map(nodes, edges, mentions, combined_map)
 
     return CanonicalizationResult(
         nodes=nodes2,
