@@ -116,6 +116,15 @@ def _q_kg_canonical_triples(spark, sf_dir):
     return canonicalize(nodes, edges, mentions, emb).edges.select("subj", "pred", "obj")
 
 
+def _q_entity_linking(spark, sf_dir):
+    """D9 string-recall stage: levenshteinSimilarity ≥ 0.7 top-5 candidates
+    for the mention 'tables' against the extracted entity vocabulary."""
+    from graph_rag_agent_spark.operators.entity_linking import string_recall
+
+    ents = _q_kg_entities(spark, sf_dir)
+    return string_recall(ents, "tables")
+
+
 def _q_exact_dedup(spark, sf_dir):
     dups = exact_duplicates(_docs(spark, sf_dir))
     return dups.select(
@@ -247,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degree": _q_kg_entity_degree,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_canonical_triples": _q_kg_canonical_triples,
+        "entity_linking": _q_entity_linking,
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash,
@@ -319,6 +329,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o.w, sha256(d.text) AS dh
                 FROM ordered o JOIN documents d ON o.doc_id = d.doc_id
             ) GROUP BY w""",
+        "entity_linking": _WORDS_CTE + """
+            SELECT entity_id, string_sim FROM (
+                SELECT DISTINCT w AS entity_id,
+                       round(1.0 - levenshtein(w, 'tables')::double
+                             / greatest(length(w), 6), 6) AS string_sim
+                FROM ordered
+            ) WHERE string_sim >= 0.7
+            ORDER BY string_sim DESC, entity_id LIMIT 5""",
         "exact_dedup": """
             SELECT sha256(text) AS content_sha256,
                    count(*) AS dup_count,

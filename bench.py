@@ -19,17 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 import __spark_entry__ as entry_mod  # noqa: E402
-from graph_rag_agent_spark.functions.extractor import (  # noqa: E402
-    KeywordCooccurrenceExtractor,
-)
-from graph_rag_agent_spark.operators.canonicalize import canonicalize  # noqa: E402
-from graph_rag_agent_spark.operators.chunker import chunk_documents  # noqa: E402
-from graph_rag_agent_spark.operators.embeddings import embed_entities  # noqa: E402
-from graph_rag_agent_spark.operators.extraction import extract_chunks  # noqa: E402
-from graph_rag_agent_spark.operators.parsing import build_graph_tables  # noqa: E402
 from graph_rag_agent_spark.session import get_spark  # noqa: E402
 from graph_rag_agent_spark.sources.corpus import generate_corpus  # noqa: E402
 
@@ -69,11 +59,9 @@ def main():
     corpus = generate_corpus(spark, SYNTH_DOCS).localCheckpoint(eager=True)
     corpus_build_s = time.time() - t0
     t0 = time.time()
-    chunks = chunk_documents(corpus)
-    results = extract_chunks(chunks)
-    nodes, edges, mentions = build_graph_tables(results)
-    emb = embed_entities(nodes)
-    res = canonicalize(nodes, edges, mentions, emb)
+    from graph_rag_agent_spark.plans.build import run_kg_build_in_memory
+
+    res = run_kg_build_in_memory(spark, corpus)
     n_triples = res.edges.count()
     kg_s = time.time() - t0
     timings["kg_build_synthetic"] = round(kg_s, 3)

@@ -287,6 +287,54 @@ def disambiguation_map(labels: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def alignment_conflicts(
+    canonical_map: DataFrame, edges: DataFrame, threshold: float = None
+) -> DataFrame:
+    """D12 conflict detection (entity_alignment.py:81-123): within each
+    alignment group, pairwise Jaccard of the members' outgoing rel-type
+    sets; a pair below the threshold is a conflict.
+
+    → (canonical_id, entity_a, entity_b, jaccard, conflict). D13 resolution
+    is the max-degree rule already applied by disambiguation_map (the
+    reference's deterministic fallback when the LLM adjudicator is absent).
+    """
+    from graph_rag_agent_spark.config import CONFLICT_JACCARD
+
+    threshold = CONFLICT_JACCARD if threshold is None else threshold
+    # group members = mapped entities + their canonical representative
+    members = canonical_map.select("canonical_id", "entity_id").unionByName(
+        canonical_map.select("canonical_id").distinct().withColumn(
+            "entity_id", F.col("canonical_id")
+        )
+    )
+    rel_types = edges.groupBy(F.col("subj").alias("entity_id")).agg(
+        F.array_sort(F.collect_set("pred")).alias("_types")
+    )
+    typed = members.join(rel_types, on="entity_id", how="left").withColumn(
+        "_types", F.coalesce("_types", F.array())
+    )
+    a, b = typed.alias("a"), typed.alias("b")
+    inter = F.size(F.array_intersect(F.col("a._types"), F.col("b._types")))
+    union = F.size(F.array_union(F.col("a._types"), F.col("b._types")))
+    jac = F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.canonical_id") == F.col("b.canonical_id"),
+                F.col("a.entity_id") < F.col("b.entity_id"),
+            ],
+        )
+        .select(
+            F.col("a.canonical_id").alias("canonical_id"),
+            F.col("a.entity_id").alias("entity_a"),
+            F.col("b.entity_id").alias("entity_b"),
+            F.round(jac, 6).alias("jaccard"),
+            (jac < threshold).alias("conflict"),
+        )
+    )
+
+
 class CanonicalizationResult(NamedTuple):
     nodes: DataFrame
     edges: DataFrame

@@ -158,6 +158,63 @@ def detect_communities(
     )
 
 
+def overlapping_label_propagation(
+    vertices: DataFrame,
+    wedges: DataFrame,
+    max_iter: int = COMMUNITY_MAX_ITER,
+    min_association: float = 0.3,
+) -> DataFrame:
+    """G4: SLLPA-style OVERLAPPING communities (reference
+    community/detector/sllpa.py:10-89, gds.sllpa with
+    minAssociationStrength). Deterministic speaker-listener variant: each
+    sweep every node hears its neighbors' current strongest label (weight-
+    summed, tie → min label) and records it in memory; after `max_iter`
+    sweeps a node belongs to every label holding ≥ min_association of its
+    memory. → (id, label, strength) — possibly multiple rows per node."""
+    sym = (
+        wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")
+        .unionByName(wedges.select(F.col("d").alias("a"), F.col("s").alias("b"), "weight"))
+        .localCheckpoint(eager=True)
+    )
+    # memory: (id, label, hits); current strongest = max hits, tie min label
+    memory = vertices.select(
+        F.col("id"), F.col("id").alias("label"), F.lit(1).alias("hits")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        w = Window.partitionBy("id").orderBy(F.desc("hits"), F.asc("label"))
+        strongest = (
+            memory.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("id", F.col("label").alias("speak"))
+        )
+        heard = (
+            sym.join(strongest, sym["b"] == strongest["id"], "inner")
+            .groupBy(F.col("a"), F.col("speak"))
+            .agg(F.sum("weight").alias("w"))
+        )
+        wl = Window.partitionBy("a").orderBy(F.desc("w"), F.asc("speak"))
+        listened = (
+            heard.withColumn("_rn", F.row_number().over(wl))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("a").alias("id"), F.col("speak").alias("label"), F.lit(1).alias("hits"))
+        )
+        memory = (
+            memory.unionByName(listened)
+            .groupBy("id", "label")
+            .agg(F.sum("hits").alias("hits"))
+            .localCheckpoint(eager=True)
+        )
+
+    totals = memory.groupBy("id").agg(F.sum("hits").alias("_total"))
+    return (
+        memory.join(totals, on="id")
+        .withColumn("strength", F.col("hits") / F.col("_total"))
+        .filter(F.col("strength") >= min_association)
+        .select("id", "label", F.round("strength", 6).alias("strength"))
+    )
+
+
 def community_membership(entity_communities: DataFrame) -> DataFrame:
     """(entity_id, communities) → communities(community_id, level, member_id)
     with community_id = '{level}-{cid}' (reference leiden.py:102-139)."""

@@ -72,3 +72,31 @@ def embed_entities(
         run, schema="entity_id string, embedding array<float>, text_sha string"
     )
     return fresh.unionByName(valid) if valid is not None else fresh
+
+
+def embed_chunks(
+    chunks: DataFrame,
+    existing: Optional[DataFrame] = None,
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """I2: chunks(chunk_id, text) → chunk_embeddings(chunk_id, embedding).
+
+    chunk_id IS the text hash (sha1 of text, struct_builder.py:82), so the
+    incremental anti-join on chunk_id alone is already text-change-aware —
+    unlike entities, chunks never need re-embedding (reference
+    chunk_indexer.py:54-120 embeds rows with embedding IS NULL)."""
+    distinct = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    if existing is not None:
+        todo = distinct.join(existing.select("chunk_id"), on="chunk_id", how="left_anti")
+    else:
+        todo = distinct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = [embed_text(t, dim).tolist() for t in pdf["text"].fillna("")]
+            yield pd.DataFrame({"chunk_id": pdf["chunk_id"], "embedding": embs})
+
+    fresh = todo.mapInPandas(run, schema="chunk_id string, embedding array<float>")
+    if existing is not None:
+        fresh = fresh.unionByName(existing.select("chunk_id", "embedding"))
+    return fresh

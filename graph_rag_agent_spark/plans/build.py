@@ -39,6 +39,35 @@ from graph_rag_agent_spark.operators.extraction import extract_chunks
 from graph_rag_agent_spark.sources.catalog import TableCatalog
 
 
+def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
+    """BuildPipeline's dataflow with localCheckpoint stage boundaries instead
+    of catalog writes — the benchmarking path. Without stage
+    materialization, canonicalize's convergence actions would recompute the
+    whole upstream (chunk→extract→parse→embed) once per action."""
+    from graph_rag_agent_spark.operators.parsing import (
+        derive_mentions,
+        derive_nodes,
+        parse_occurrences,
+        parse_relationships,
+    )
+
+    cfg = config or PipelineConfig()
+    chunks = chunk_documents(
+        corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length
+    ).localCheckpoint(eager=True)
+    results = extract_chunks(chunks, extractor=extractor).localCheckpoint(eager=True)
+    occurrences = parse_occurrences(results).localCheckpoint(eager=True)
+    edges = parse_relationships(results).localCheckpoint(eager=True)
+    nodes = derive_nodes(occurrences).localCheckpoint(eager=True)
+    mentions = derive_mentions(occurrences)
+    embeddings = embed_entities(nodes, dim=cfg.embedding_dim).localCheckpoint(eager=True)
+    return canonicalize(
+        nodes, edges, mentions, embeddings,
+        cutoff=cfg.similarity_cutoff, topk=cfg.similarity_topk,
+        max_edit_distance=cfg.word_edit_distance,
+    )
+
+
 class BuildPipeline:
     def __init__(
         self,
@@ -173,6 +202,25 @@ class BuildPipeline:
         rank = community_rank(membership, mentions)
         summaries = summarize_communities(membership, nodes, edges, rank)
         summaries = self._save(summaries, "community_summaries", "communities_summarize", t0)
+
+        # chunk embeddings (I2, reference ChunkIndexBuilder — build step 3)
+        t0 = time.time()
+        from graph_rag_agent_spark.operators.embeddings import embed_chunks
+
+        existing_cemb = (
+            cat.read("chunk_embeddings") if (resume and cat.exists("chunk_embeddings")) else None
+        )
+        chunk_embs = embed_chunks(chunks, existing=existing_cemb, dim=cfg.embedding_dim)
+        if existing_cemb is not None:
+            chunk_embs = chunk_embs.localCheckpoint(eager=True)
+        self._save(chunk_embs, "chunk_embeddings", "embed_chunks", t0)
+
+        # graph-quality metrics (reference evaluation framework analogue)
+        t0 = time.time()
+        from graph_rag_agent_spark.operators.graph_metrics import graph_quality_report
+
+        quality = graph_quality_report(nodes, edges, mentions, chunks, membership)
+        self._save(quality, "graph_quality", "graph_quality", t0)
 
         # registry snapshot for incremental diffs (N1)
         t0 = time.time()

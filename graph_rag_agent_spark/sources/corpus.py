@@ -110,10 +110,15 @@ def generate_corpus_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
         path = f"src/{rng.choice(['core','io','net','sched','fmt'])}/f{i}.{ext}"
         commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
 
+        # module names mix word pools so normalized-name prefixes are
+        # diverse — otherwise every mod_{i} is within edit distance 2 of
+        # its neighbors and canonicalization degenerates into one giant
+        # merge blob (unrealistic and quadratic in the dup-pair join)
+        mod_name = f"{rng.choice(_MODULES)}_{rng.choice(_FUNCS)}_{i}"
         r = rng.random()
         if i == 0 and n_rows >= 50:
             # the >500k-char file → large-text pre-split path
-            content = _py_file(rng, f"mega_mod_{i}", paragraphs=9000)
+            content = _py_file(rng, f"mega_{mod_name}", paragraphs=9000)
         elif r < 0.03:
             content = ""  # empty file
         elif r < 0.08:
@@ -121,7 +126,7 @@ def generate_corpus_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
         elif lang in ("md", "txt"):
             content = _prose_file(rng, paragraphs=rng.randint(1, 40))
         else:
-            content = _py_file(rng, f"mod_{i}", paragraphs=rng.choice([0, 0, 2, 10, 60, 200]))
+            content = _py_file(rng, mod_name, paragraphs=rng.choice([0, 0, 2, 10, 60, 200]))
         rows.append(
             {"repo": repo, "path": path, "commit": commit, "lang": lang, "content": content}
         )

@@ -125,6 +125,25 @@ def test_apply_canonical_map_rewires_and_dedupes(spark):
     assert {(r.chunk_id, r.entity_id) for r in m2.collect()} == {("c1", "A"), ("c2", "A")}
 
 
+def test_alignment_conflicts(spark):
+    from graph_rag_agent_spark.operators.canonicalize import alignment_conflicts
+
+    cmap = spark.createDataFrame(
+        [("B", "A"), ("C", "A")], "entity_id string, canonical_id string"
+    )
+    edges = spark.createDataFrame(
+        [("A", "calls", "X"), ("A", "imports", "Y"),
+         ("B", "calls", "Z"),                      # B overlaps A on 'calls'
+         ("C", "inherits", "W")],                  # C disjoint from A
+        "subj string, pred string, obj string",
+    )
+    got = {(r.entity_a, r.entity_b): (r.jaccard, r.conflict)
+           for r in alignment_conflicts(cmap, edges).collect()}
+    assert got[("A", "B")][0] == 0.5 and got[("A", "B")][1] is False
+    assert got[("A", "C")][0] == 0.0 and got[("A", "C")][1] is True
+    assert got[("B", "C")][1] is True
+
+
 def test_full_canonicalize_merges_variants(spark):
     nodes = spark.createDataFrame(
         [("DataLoader", "class", "class DataLoader"),

@@ -40,6 +40,32 @@ def test_label_propagation_two_cliques(spark):
     assert labels["a1"] != labels["b1"]
 
 
+def test_overlapping_label_propagation(spark):
+    from graph_rag_agent_spark.operators.communities import (
+        overlapping_label_propagation,
+    )
+
+    # two triangles sharing the bridge node x
+    rows = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "x"), ("x", "b1"),
+            ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+    edges = _edges(spark, rows)
+    wp = weighted_projection(edges)
+    verts = spark.createDataFrame(
+        [(v,) for v in ["a1", "a2", "a3", "b1", "b2", "b3", "x"]], "id string"
+    )
+    out = overlapping_label_propagation(verts, wp, max_iter=8, min_association=0.2)
+    by_node = {}
+    for r in out.collect():
+        by_node.setdefault(r.id, set()).add(r.label)
+    # every node belongs to at least one community; the bridge node's
+    # memberships overlap with both sides' dominant labels
+    assert all(by_node.get(v) for v in ["a1", "b1", "x"])
+    assert len(by_node["x"]) >= 1
+    dominant_a = by_node["a1"] | by_node["a2"]
+    dominant_b = by_node["b1"] | by_node["b2"]
+    assert by_node["x"] & (dominant_a | dominant_b)
+
+
 def test_detect_and_summarize(spark):
     rows = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
             ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]

@@ -22,22 +22,21 @@ import sys, time, os
 sys.path.insert(0, "/root/repo")
 from graph_rag_agent_spark.session import get_spark
 from graph_rag_agent_spark.sources.corpus import generate_corpus
-from graph_rag_agent_spark.operators.chunker import chunk_documents
-from graph_rag_agent_spark.operators.extraction import extract_chunks
-from graph_rag_agent_spark.operators.parsing import build_graph_tables
-from graph_rag_agent_spark.operators.embeddings import embed_entities
-from graph_rag_agent_spark.operators.canonicalize import canonicalize
+from graph_rag_agent_spark.plans.build import run_kg_build_in_memory
 
 master, n_docs = sys.argv[1], int(sys.argv[2])
 spark = get_spark(app_name="scaling", master=master)
 corpus = generate_corpus(spark, n_docs).localCheckpoint(eager=True)
-corpus.count()  # warm: JVM, codegen, python workers
+corpus.count()  # warm JVM + codegen
+# warm the Python worker pool on every core (pandas/numpy import cost is
+# per-worker; excluding it measures steady-state throughput, not spawn)
+import pandas as _pd
+ncores = spark.sparkContext.defaultParallelism
+spark.range(0, ncores * 4, 1, ncores * 4).mapInPandas(
+    lambda it: (pdf for pdf in it), schema="id long"
+).count()
 t0 = time.time()
-chunks = chunk_documents(corpus)
-results = extract_chunks(chunks)
-nodes, edges, mentions = build_graph_tables(results)
-emb = embed_entities(nodes)
-res = canonicalize(nodes, edges, mentions, emb)
+res = run_kg_build_in_memory(spark, corpus)
 n_triples = res.edges.count()
 dt = time.time() - t0
 print(f"RESULT {dt} {n_triples}")
