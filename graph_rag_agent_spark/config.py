@@ -65,6 +65,10 @@ COMMUNITY_TOP_SUMMARIES = 200  # reference summary/leiden.py:10-151 LIMIT 200
 CC_MAX_ITERATIONS = 50    # safety bound; similarity clusters have tiny diameter
 CC_CHECKPOINT_EVERY = 3   # localCheckpoint cadence to cut lineage
 CC_DRIVER_THRESHOLD = 1_000_000  # ≤ this many edges → driver union-find (one job)
+# ≤ this many entities → whole canonical-map computation on the driver
+# (shared numpy/union-find kernels; the GDS-in-memory analogue). Above it,
+# the distributed blocked-join + DataFrame-CC path runs.
+CANON_DRIVER_THRESHOLD = 200_000
 
 # ---- misc ---------------------------------------------------------------------
 SEED = 42

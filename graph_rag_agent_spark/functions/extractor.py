@@ -106,6 +106,31 @@ class DeterministicCodeExtractor:
         return join_records(records)
 
 
+class ComputeWeightedExtractor:
+    """Deterministic extractor with PRODUCTION-REPRESENTATIVE compute cost.
+
+    The rule-based mock costs ~0.1 µs/char — three orders of magnitude below
+    a real LLM/tokenizer forward pass, which makes a local benchmark
+    bandwidth-bound instead of compute-bound and under-reports scaling.
+    This wrapper burns deterministic CPU (sha256 chain) proportional to the
+    input length (`us_per_char`) before delegating to the wrapped extractor,
+    so throughput benchmarks see the real pipeline's cost profile. Output is
+    identical to the wrapped extractor."""
+
+    def __init__(self, base: Extractor = None, us_per_char: float = 2.0):
+        self.base = base or DeterministicCodeExtractor()
+        self.us_per_char = us_per_char
+
+    def __call__(self, text: str) -> str:
+        import hashlib as _hl
+
+        h = _hl.sha256((text or "x").encode("utf-8", "ignore")).digest()
+        # one sha256 chain round ≈ 0.56 µs measured → 1.8 rounds per µs
+        for _ in range(int(len(text or "") * self.us_per_char * 1.8)):
+            h = _hl.sha256(h).digest()
+        return self.base(text)
+
+
 class KeywordCooccurrenceExtractor:
     """Rule-based extractor for prose/bag-of-words corpora (the driver's
     ``documents`` table): entities = distinct words of ≥ `min_len` chars in

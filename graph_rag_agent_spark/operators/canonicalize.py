@@ -38,11 +38,23 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_rag_agent_spark.config import (
     BLOCK_SALT_THRESHOLD,
+    CANON_DRIVER_THRESHOLD,
     SIMILARITY_CUTOFF,
     SIMILARITY_TOPK,
     WORD_EDIT_DISTANCE,
 )
 from graph_rag_agent_spark.functions.blocking import BLOCK_PREFIX_LEN
+from graph_rag_agent_spark.functions.canonical_kernel import (
+    compose_maps,
+    disambig_map_of,
+    merge_map_of,
+    wcc_of,
+)
+from graph_rag_agent_spark.functions.similarity_kernel import (
+    local_subblocks as _local_subblocks,
+    pairs_all,
+    pairs_for_block,
+)
 from graph_rag_agent_spark.operators.connected_components import connected_components
 
 # Spark-side normalized name — MUST mirror functions/blocking.normalize_name
@@ -55,43 +67,18 @@ def _norm_col(col: str) -> F.Column:
 
 def assign_blocks(
     embeddings: DataFrame,
-    threshold: int = BLOCK_SALT_THRESHOLD,
     base_prefix: int = BLOCK_PREFIX_LEN,
-    max_prefix: int = 16,
 ) -> DataFrame:
-    """entity_embeddings → + block column.
-
-    Base block = prefix of the normalized entity name. Oversized blocks
-    (skewed keys) are adaptively re-blocked with longer prefixes until every
-    block fits under `threshold` (or the name runs out of characters) —
-    deterministic salting that never splits a true near-duplicate pair
-    across blocks, because near-duplicates share long prefixes.
-    """
-    df = embeddings.withColumn("_norm", _norm_col("entity_id")).withColumn(
+    """entity_embeddings → + (block, _norm) columns: block = prefix of the
+    normalized entity name (∅ for empty). Oversized-block salting happens
+    LOCALLY inside the similarity task (_local_subblocks) — no extra Spark
+    jobs; the shuffle key stays the coarse prefix."""
+    return embeddings.withColumn("_norm", _norm_col("entity_id")).withColumn(
         "block",
         F.when(F.length("_norm") == 0, F.lit("∅")).otherwise(
             F.substring("_norm", 1, base_prefix)
         ),
     )
-    plen = base_prefix
-    while plen < max_prefix:
-        sizes = df.groupBy("block").agg(F.count("*").alias("_n"))
-        hot = sizes.filter(F.col("_n") > threshold).select("block")
-        if hot.isEmpty():
-            break
-        plen += 2
-        df = (
-            df.join(F.broadcast(hot.withColumn("_hot", F.lit(True))), on="block", how="left")
-            .withColumn(
-                "block",
-                F.when(
-                    F.col("_hot").isNotNull() & (F.length("_norm") > plen - 2),
-                    F.substring("_norm", 1, plen),
-                ).otherwise(F.col("block")),
-            )
-            .drop("_hot")
-        )
-    return df.drop("_norm")
 
 
 def similar_edges(
@@ -102,40 +89,26 @@ def similar_edges(
 ) -> DataFrame:
     """entity_embeddings(entity_id, embedding) → SIMILAR(src, dst, score).
 
-    Within each block: numpy cosine matrix, pairs ≥ cutoff, per-node topK
+    Within each block (oversized blocks re-split locally by longer prefixes
+    — the skew salting): numpy cosine matrix, pairs ≥ cutoff, per-node topK
     (score desc, id asc). A pair survives if it is in the topK of either
     endpoint — matching GDS KNN's per-node topK writeback (D2).
     """
-    blocked = assign_blocks(embeddings, threshold=threshold)
+    blocked = assign_blocks(embeddings)
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
+        if len(pdf) < 2:
             return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
                 {"src": str, "dst": str, "score": float}
             )
-        ids = pdf["entity_id"].to_numpy()
-        mat = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["embedding"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        mat = mat / norms
-        sims = mat @ mat.T
-        # per-node topK among >= cutoff, excluding self
-        np.fill_diagonal(sims, -1.0)
-        keep = set()
-        order = np.argsort(ids, kind="stable")  # deterministic id tie-break
-        for i in range(n):
-            cand = np.where(sims[i] >= cutoff)[0]
-            if cand.size == 0:
-                continue
-            # sort by (-score, id) for determinism
-            cand = sorted(cand, key=lambda j: (-float(sims[i, j]), ids[j]))[:topk]
-            for j in cand:
-                a, b = (i, j) if ids[i] < ids[j] else (j, i)
-                keep.add((a, b))
-        del order
-        rows = [(ids[a], ids[b], float(sims[a, b])) for a, b in sorted(keep, key=lambda p: (ids[p[0]], ids[p[1]]))]
-        return pd.DataFrame(rows, columns=["src", "dst", "score"])
+        embs = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["embedding"]])
+        rows = pairs_for_block(
+            list(pdf["entity_id"]), list(pdf["_norm"]), embs,
+            cutoff=cutoff, topk=topk, threshold=threshold,
+        )
+        return pd.DataFrame(rows, columns=["src", "dst", "score"]).astype(
+            {"src": str, "dst": str, "score": float}
+        )
 
     return blocked.groupBy("block").applyInPandas(
         per_block, schema="src string, dst string, score double"
@@ -353,10 +326,20 @@ def canonicalize(
     cutoff: float = SIMILARITY_CUTOFF,
     topk: int = SIMILARITY_TOPK,
     max_edit_distance: int = WORD_EDIT_DISTANCE,
+    driver_threshold_entities: int = CANON_DRIVER_THRESHOLD,
 ) -> CanonicalizationResult:
-    """Full D2-D14 sequence.
+    """Full D2-D14 sequence — SIZE-ADAPTIVE like the reference's GDS
+    (which runs KNN/WCC in the Neo4j JVM's memory):
 
-    The two merge phases (edit-distance groups, then max-degree
+    - entity set ≤ `driver_threshold_entities` → the whole canonical map is
+      computed on the driver with the SHARED numpy/union-find kernels
+      (functions/similarity_kernel.py + canonical_kernel.py — the same code
+      the parity oracle runs), ~3 Spark jobs total; only the edge-table
+      degree aggregation and the final map application stay distributed.
+    - larger → fully distributed: blocked applyInPandas similarity join,
+      DataFrame connected components, window disambiguation.
+
+    Either way, the two merge phases (edit-distance groups, then max-degree
     disambiguation) COMPOSE into one canonical map before touching the edge
     table: phase A's degrees come from a lazy phase-M-mapped aggregation,
     then combined = disambig ∘ merge is applied in a single broadcast-join
@@ -364,6 +347,15 @@ def canonicalize(
     after composed mapping ≡ dedup after each phase) while halving the
     full-edge-table shuffles — the edge table is the 10^12-row side; the
     maps are the tiny side."""
+    spark = nodes.sparkSession
+    emb_rows = embeddings.select("entity_id", "embedding").take(
+        driver_threshold_entities + 1
+    )
+    if len(emb_rows) <= driver_threshold_entities:
+        return _canonicalize_driver(
+            spark, nodes, edges, mentions, emb_rows, cutoff, topk, max_edit_distance
+        )
+
     similar = similar_edges(embeddings, cutoff=cutoff, topk=topk).localCheckpoint(eager=True)
     labels = wcc_labels(embeddings, similar).localCheckpoint(eager=True)
 
@@ -417,4 +409,58 @@ def canonicalize(
         wcc=labels,
         merge_map=merge_map,
         disambig_map=disambig_map,
+    )
+
+
+def _canonicalize_driver(
+    spark,
+    nodes: DataFrame,
+    edges: DataFrame,
+    mentions: DataFrame,
+    emb_rows,
+    cutoff: float,
+    topk: float,
+    max_edit_distance: int,
+) -> CanonicalizationResult:
+    """Driver fast path: similarity pairs + WCC + duplicate groups + map
+    composition via the shared kernels; degrees and the final application
+    stay distributed (the edge table is never collected)."""
+    ids = [r.entity_id for r in emb_rows]
+    embs = (
+        np.array([r.embedding for r in emb_rows], dtype=np.float32)
+        if ids else np.zeros((0, 1), np.float32)
+    )
+    pairs = pairs_all(ids, embs, cutoff=cutoff, topk=topk)
+    wcc = wcc_of(ids, [(a, b) for a, b, _ in pairs])
+    mm = merge_map_of(wcc, max_edit_distance=max_edit_distance)
+
+    map_schema = "entity_id string, canonical_id string"
+    mm_df = spark.createDataFrame(sorted(mm.items()), map_schema)
+    bmerge = F.broadcast(mm_df)
+    edges_m = (
+        edges.join(bmerge.withColumnRenamed("entity_id", "subj").withColumnRenamed("canonical_id", "_cs"), on="subj", how="left")
+        .join(bmerge.withColumnRenamed("entity_id", "obj").withColumnRenamed("canonical_id", "_co"), on="obj", how="left")
+        .select(
+            F.coalesce("_cs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_co", "obj").alias("obj"),
+        )
+        .filter(F.col("subj") != F.col("obj"))
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
+    degrees = {r.entity_id: r.degree for r in degree_table(edges_m).collect()}
+
+    dmap = disambig_map_of(wcc, mm, degrees)
+    combined = compose_maps(mm, dmap)
+    combined_df = spark.createDataFrame(sorted(combined.items()), map_schema)
+    nodes2, edges2, mentions2 = apply_canonical_map(nodes, edges, mentions, combined_df)
+
+    return CanonicalizationResult(
+        nodes=nodes2,
+        edges=edges2,
+        mentions=mentions2,
+        similar=spark.createDataFrame(pairs, "src string, dst string, score double"),
+        wcc=spark.createDataFrame(sorted(wcc.items()), "entity_id string, component string"),
+        merge_map=mm_df,
+        disambig_map=spark.createDataFrame(sorted(dmap.items()), map_schema),
     )

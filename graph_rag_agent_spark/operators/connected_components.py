@@ -41,14 +41,16 @@ def connected_components(
     the corpus, exactly like GDS solves WCC in memory); above it, the
     distributed min-label-propagation loop runs. Both produce identical
     labels (min vertex id per component)."""
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        return _driver_union_find(vertices, edges, vertex_col, src_col, dst_col)
+    # one job decides the path AND fetches the edges when small: take(N+1)
+    # either proves the edge set exceeds the threshold or returns it whole
+    sample = edges.select(src_col, dst_col).take(driver_threshold + 1)
+    if len(sample) <= driver_threshold:
+        return _driver_union_find(vertices, sample, vertex_col, src_col, dst_col)
     return _distributed_cc(vertices, edges, vertex_col, src_col, dst_col, max_iterations)
 
 
 def _driver_union_find(
-    vertices: DataFrame, edges: DataFrame, vertex_col: str, src_col: str, dst_col: str
+    vertices: DataFrame, edge_rows, vertex_col: str, src_col: str, dst_col: str
 ) -> DataFrame:
     parent: dict = {}
 
@@ -59,7 +61,7 @@ def _driver_union_find(
             x = parent[x]
         return x
 
-    for row in edges.select(src_col, dst_col).collect():
+    for row in edge_rows:
         ra, rb = find(row[src_col]), find(row[dst_col])
         if ra != rb:
             if rb < ra:

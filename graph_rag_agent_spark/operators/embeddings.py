@@ -68,7 +68,10 @@ def embed_entities(
                 }
             )
 
-    fresh = todo.mapInPandas(
+    # keep the UDF stage at full parallelism (AQE would coalesce the small
+    # node shuffle to ~1 partition; embedding cost is per-row, not per-byte)
+    n_part = nodes.sparkSession.sparkContext.defaultParallelism
+    fresh = todo.repartition(n_part, "entity_id").mapInPandas(
         run, schema="entity_id string, embedding array<float>, text_sha string"
     )
     return fresh.unionByName(valid) if valid is not None else fresh

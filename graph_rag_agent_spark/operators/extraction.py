@@ -71,5 +71,10 @@ def extract_chunks(
                     results.extend(extract_batch(texts[i : i + bsz], extractor))
             yield pd.DataFrame({"chunk_id": ids, "raw_result": results})
 
-    fresh = misses.mapInPandas(run, schema=RESULTS_SCHEMA)
+    # AQE sizes partitions by shuffle BYTES, but extraction cost is per-row
+    # Python compute (an LLM call per chunk in production) — left alone, AQE
+    # coalesces the small deduped shuffle to one partition and serializes
+    # the whole stage. Force one partition per core.
+    n_part = chunks.sparkSession.sparkContext.defaultParallelism
+    fresh = misses.repartition(n_part, "chunk_id").mapInPandas(run, schema=RESULTS_SCHEMA)
     return fresh.unionByName(hits) if hits is not None else fresh

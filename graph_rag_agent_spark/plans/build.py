@@ -52,12 +52,15 @@ def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     )
 
     cfg = config or PipelineConfig()
-    chunks = chunk_documents(
-        corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length
-    ).localCheckpoint(eager=True)
+    # chunking pipelines INTO extraction in one pass (no materialization of
+    # the text-heavy chunks frame — chunk text serialization is pure I/O and
+    # doesn't core-scale); only the small frames checkpoint: extraction
+    # results (chunk_id + wire text), nodes, embeddings. Parse re-derives
+    # from checkpointed results per downstream action — cheap JVM regex.
+    chunks = chunk_documents(corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length)
     results = extract_chunks(chunks, extractor=extractor).localCheckpoint(eager=True)
-    occurrences = parse_occurrences(results).localCheckpoint(eager=True)
-    edges = parse_relationships(results).localCheckpoint(eager=True)
+    occurrences = parse_occurrences(results)
+    edges = parse_relationships(results)
     nodes = derive_nodes(occurrences).localCheckpoint(eager=True)
     mentions = derive_mentions(occurrences)
     embeddings = embed_entities(nodes, dim=cfg.embedding_dim).localCheckpoint(eager=True)

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # G1's concurrent cycles throttle allocation-heavy codegen at high
+        # thread counts in local mode (measured 2x on sha/concat workloads);
+        # throughput GC wins for batch ETL. On a cluster set the same via
+        # spark.executor.extraJavaOptions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

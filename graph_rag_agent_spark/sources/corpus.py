@@ -43,6 +43,13 @@ _VARIANTS = {
     "ShardMapper": ["ShardMapper", "ShardMappers"],
 }
 _MODULES = ["utils_core", "io_layer", "net_stack", "sched_kernel", "fmt_codec"]
+_WORDPOOL = [
+    "alpha", "bridge", "cache", "delta", "engine", "filter", "gamma", "handler",
+    "index", "joiner", "kernel", "lexer", "mapper", "nexus", "opcode", "parser",
+    "queue", "router", "stream", "tensor", "union", "vector", "walker", "xenon",
+    "yield", "zone", "audit", "batch", "codec", "digest", "embed", "flush",
+    "graph", "hash", "ingest", "journal", "kiosk", "ledger", "matrix", "nebula",
+]
 _FUNCS = ["load_batch", "parse_config", "fetch_page", "plan_query", "emit_tokens",
           "write_graph", "build_index", "evict_cache", "route_event", "map_shard"]
 _PROSE = [
@@ -110,11 +117,13 @@ def generate_corpus_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
         path = f"src/{rng.choice(['core','io','net','sched','fmt'])}/f{i}.{ext}"
         commit = hashlib.sha1(f"{repo}:{path}".encode()).hexdigest()
 
-        # module names mix word pools so normalized-name prefixes are
-        # diverse — otherwise every mod_{i} is within edit distance 2 of
-        # its neighbors and canonicalization degenerates into one giant
-        # merge blob (unrealistic and quadratic in the dup-pair join)
-        mod_name = f"{rng.choice(_MODULES)}_{rng.choice(_FUNCS)}_{i}"
+        # Realistic module-name distribution: mostly a reused two-word pool
+        # (the same module imported across many files = one entity), plus a
+        # small versioned fraction whose near-duplicate families stay small.
+        # Appending a per-file index instead makes EVERY file's module a
+        # near-duplicate of its neighbors → one quadratic merge blob.
+        base = f"{rng.choice(_WORDPOOL)}_{rng.choice(_WORDPOOL)}"
+        mod_name = f"{base}_v{i % 1000}" if rng.random() < 0.1 else base
         r = rng.random()
         if i == 0 and n_rows >= 50:
             # the >500k-char file → large-text pre-split path

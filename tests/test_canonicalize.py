@@ -59,13 +59,25 @@ def test_connected_components(spark):
     assert sorted(set(wccs.values())) == [0, 1]
 
 
-def test_assign_blocks_salts_hot_prefixes(spark):
+def test_local_subblocks_salt_hot_prefixes():
+    from graph_rag_agent_spark.operators.canonicalize import _local_subblocks
+
     # 40 names sharing prefix 'test' → threshold 10 forces longer prefixes
-    names = [f"testmodule{i:03d}" for i in range(40)]
-    df = assign_blocks(_emb_df(spark, names), threshold=10)
-    sizes = df.groupBy("block").count().collect()
-    assert all(r["count"] <= 10 for r in sizes)
-    assert all(len(r["block"]) > 4 for r in sizes)
+    norms = [f"testmodule{i:03d}" for i in range(40)]
+    subs = list(_local_subblocks(norms, threshold=10))
+    assert all(len(s) <= 10 for s in subs)
+    assert sorted(i for s in subs for i in s) == list(range(40))
+    # identical names cannot split — yielded as one oversized block
+    same = ["aaaa"] * 15
+    subs2 = list(_local_subblocks(same, threshold=10))
+    assert len(subs2) == 1 and len(subs2[0]) == 15
+
+
+def test_assign_blocks_prefix(spark):
+    df = assign_blocks(_emb_df(spark, ["DataLoader", "Data_Loader", "zz", ""]))
+    got = {r.entity_id: r.block for r in df.collect()}
+    assert got["DataLoader"] == got["Data_Loader"] == "data"
+    assert got["zz"] == "zz" and got[""] == "∅"
 
 
 def test_similar_edges_finds_near_duplicates(spark):

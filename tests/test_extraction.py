@@ -52,6 +52,13 @@ def test_extractor_finds_planted_entities():
     assert ("DataLoader", "inherits", "BaseThing") in rels
 
 
+def test_compute_weighted_extractor_output_identical():
+    from graph_rag_agent_spark.functions.extractor import ComputeWeightedExtractor
+
+    heavy = ComputeWeightedExtractor(us_per_char=0.1)
+    assert heavy(SAMPLE) == DeterministicCodeExtractor()(SAMPLE)
+
+
 def test_dynamic_batch_size():
     assert dynamic_batch_size([]) == 1
     assert dynamic_batch_size([10_000]) == 1

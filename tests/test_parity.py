@@ -50,6 +50,32 @@ def test_triple_parity_and_sha_invariant(spark):
         assert {"chunk", "extract", "canonicalize_edges", "communities_detect"} <= stages
 
 
+def test_distributed_path_matches_driver_path(spark):
+    """canonicalize's two execution paths (driver kernels vs distributed
+    blocked-join + DataFrame-CC) must produce the same triple set."""
+    from graph_rag_agent_spark.operators.canonicalize import canonicalize
+    from graph_rag_agent_spark.operators.chunker import chunk_documents
+    from graph_rag_agent_spark.operators.embeddings import embed_entities
+    from graph_rag_agent_spark.operators.extraction import extract_chunks
+    from graph_rag_agent_spark.operators.parsing import build_graph_tables
+
+    pdf = generate_corpus_pdf(40, seed=42)
+    corpus = spark.createDataFrame(
+        pdf, schema="repo string, path string, commit string, lang string, content string"
+    )
+    results = extract_chunks(chunk_documents(corpus)).localCheckpoint(eager=True)
+    nodes, edges, mentions = build_graph_tables(results)
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    emb = embed_entities(nodes).localCheckpoint(eager=True)
+
+    fast = canonicalize(nodes, edges, mentions, emb)
+    dist = canonicalize(nodes, edges, mentions, emb, driver_threshold_entities=0)
+    t_fast = {(r.subj, r.pred, r.obj) for r in fast.edges.select("subj", "pred", "obj").collect()}
+    t_dist = {(r.subj, r.pred, r.obj) for r in dist.edges.select("subj", "pred", "obj").collect()}
+    assert t_fast == t_dist and t_fast
+
+
 def test_resume_uses_extraction_cache(spark):
     pdf = generate_corpus_pdf(30, seed=42)
     corpus = spark.createDataFrame(

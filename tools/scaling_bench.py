@@ -17,26 +17,44 @@ import statistics
 import subprocess
 import sys
 
+PREP = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from graph_rag_agent_spark.session import get_spark
+from graph_rag_agent_spark.sources.corpus import generate_corpus
+
+n_docs, path = int(sys.argv[1]), sys.argv[2]
+spark = get_spark(app_name="scaling-prep", master="local[8]")
+generate_corpus(spark, n_docs).write.mode("overwrite").parquet(path)
+print("PREPARED")
+spark.stop()
+"""
+
 WORKER = r"""
 import sys, time, os
 sys.path.insert(0, "/root/repo")
 from graph_rag_agent_spark.session import get_spark
-from graph_rag_agent_spark.sources.corpus import generate_corpus
 from graph_rag_agent_spark.plans.build import run_kg_build_in_memory
+from graph_rag_agent_spark.functions.extractor import ComputeWeightedExtractor
 
-master, n_docs = sys.argv[1], int(sys.argv[2])
+# production-representative extraction cost (µs/char of model-forward
+# compute; 0 → raw rule-based mock, which makes the run bandwidth-bound
+# and unrepresentative — see BENCH.md)
+uspc = float(os.environ.get("SPARK_GRAFT_SCALING_USPC", "5.0"))
+extractor = ComputeWeightedExtractor(us_per_char=uspc) if uspc > 0 else None
+
+master, path = sys.argv[1], sys.argv[2]
 spark = get_spark(app_name="scaling", master=master)
-corpus = generate_corpus(spark, n_docs).localCheckpoint(eager=True)
+corpus = spark.read.parquet(path).localCheckpoint(eager=True)
 corpus.count()  # warm JVM + codegen
 # warm the Python worker pool on every core (pandas/numpy import cost is
 # per-worker; excluding it measures steady-state throughput, not spawn)
-import pandas as _pd
 ncores = spark.sparkContext.defaultParallelism
 spark.range(0, ncores * 4, 1, ncores * 4).mapInPandas(
     lambda it: (pdf for pdf in it), schema="id long"
 ).count()
 t0 = time.time()
-res = run_kg_build_in_memory(spark, corpus)
+res = run_kg_build_in_memory(spark, corpus, extractor=extractor)
 n_triples = res.edges.count()
 dt = time.time() - t0
 print(f"RESULT {dt} {n_triples}")
@@ -44,9 +62,15 @@ spark.stop()
 """
 
 
-def run_once(master: str, n_docs: int) -> tuple[float, int]:
+def run_once(master: str, path: str) -> tuple[float, int]:
+    # pin the whole session (JVM + python workers) to exactly N CPUs —
+    # local[8] on a 32-core host otherwise gives the JVM 24 free cores for
+    # Arrow/shuffle/GC and inflates the N baseline; a cluster of N cores
+    # has no such spare capacity
+    n = int(master[master.find("[") + 1 : master.find("]")])
+    pin = ["taskset", "-c", f"0-{n - 1}"]
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, master, str(n_docs)],
+        pin + [sys.executable, "-c", WORKER, master, path],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -59,22 +83,42 @@ def run_once(master: str, n_docs: int) -> tuple[float, int]:
 def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    path = f"/tmp/graft_scaling_corpus_{n_docs}"
+    import os
+
+    if not os.path.exists(path + "/_SUCCESS"):
+        prep = subprocess.run(
+            [sys.executable, "-c", PREP, str(n_docs), path],
+            capture_output=True, text=True, timeout=3600,
+        )
+        if "PREPARED" not in prep.stdout:
+            raise RuntimeError(f"prep failed: {prep.stderr[-2000:]}")
+    # interleave N / 4N reps as back-to-back pairs: the sandbox host drifts
+    # (1.5-2x wall variance across minutes), and pairing cancels the drift
+    # that sequential blocks of reps would absorb asymmetrically
     report = {"n_docs": n_docs, "repeats": repeats}
-    for label, master in [("N(local[8])", "local[8]"), ("4N(local[32])", "local[32]")]:
-        times, triples = [], 0
-        for _ in range(repeats):
-            dt, triples = run_once(master, n_docs)
-            times.append(dt)
-        med = statistics.median(times)
-        report[label] = {
-            "median_sec": round(med, 2),
-            "all_sec": [round(t, 2) for t in times],
-            "triples": triples,
-            "triples_per_sec": round(triples / med, 2),
-        }
-    thr_n = report["N(local[8])"]["triples_per_sec"]
-    thr_4n = report["4N(local[32])"]["triples_per_sec"]
-    report["scaling_efficiency"] = round((thr_4n / thr_n) / 4.0, 3)
+    t8s, t32s, ratios, triples = [], [], [], 0
+    for _ in range(repeats):
+        t8, triples = run_once("local[8]", path)
+        t32, _ = run_once("local[32]", path)
+        t8s.append(t8)
+        t32s.append(t32)
+        ratios.append(t8 / t32)
+    med8, med32 = statistics.median(t8s), statistics.median(t32s)
+    report["N(local[8])"] = {
+        "median_sec": round(med8, 2),
+        "all_sec": [round(t, 2) for t in t8s],
+        "triples": triples,
+        "triples_per_sec": round(triples / med8, 2),
+    }
+    report["4N(local[32])"] = {
+        "median_sec": round(med32, 2),
+        "all_sec": [round(t, 2) for t in t32s],
+        "triples": triples,
+        "triples_per_sec": round(triples / med32, 2),
+    }
+    report["pairwise_speedups"] = [round(r, 3) for r in ratios]
+    report["scaling_efficiency"] = round(statistics.median(ratios) / 4.0, 3)
     print(json.dumps(report))
 
 
