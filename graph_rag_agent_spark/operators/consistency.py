@@ -63,16 +63,33 @@ def audit_edge_endpoints(edges: DataFrame, nodes: DataFrame) -> DataFrame:
 def validation_report(
     nodes: DataFrame, edges: DataFrame, mentions: DataFrame, chunks: DataFrame
 ) -> DataFrame:
-    """→ (check, violation_count) — one row per audit."""
-    spark = nodes.sparkSession
-    counts = [
-        ("orphan_entities", audit_orphan_entities(nodes, mentions).count()),
-        ("dangling_mentions", audit_dangling_mentions(mentions, chunks).count()),
-        ("empty_chunks", audit_empty_chunks(chunks).count()),
-        ("broken_chains", audit_broken_chains(chunks).count()),
-        ("edge_endpoints_missing", audit_edge_endpoints(edges, nodes).count()),
+    """→ (check, violation_count) — one row per audit, computed as ONE
+    unioned aggregation (a single Spark job), not five sequential .count()
+    actions that would each recompute the upstream plan."""
+    audits = [
+        ("orphan_entities", audit_orphan_entities(nodes, mentions)),
+        ("dangling_mentions", audit_dangling_mentions(mentions, chunks)),
+        ("empty_chunks", audit_empty_chunks(chunks)),
+        ("broken_chains", audit_broken_chains(chunks)),
+        ("edge_endpoints_missing", audit_edge_endpoints(edges, nodes)),
     ]
-    return spark.createDataFrame(counts, "check string, violation_count bigint")
+    counted = [
+        df.select(F.lit(name).alias("check")).groupBy("check").agg(
+            F.count("*").alias("violation_count")
+        )
+        for name, df in audits
+    ]
+    merged = counted[0]
+    for c in counted[1:]:
+        merged = merged.unionByName(c)
+    # audits with zero violations produce no row → re-seed with 0
+    names = nodes.sparkSession.createDataFrame(
+        [(n,) for n, _ in audits], "check string"
+    )
+    return (
+        names.join(merged, on="check", how="left")
+        .withColumn("violation_count", F.coalesce("violation_count", F.lit(0)))
+    )
 
 
 def repair(

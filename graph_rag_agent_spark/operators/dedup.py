@@ -64,28 +64,55 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard) for same-block pairs above threshold.
 
-    Block = (block_cols, length(text)//length_bucket): near-identical texts
-    have near-identical lengths, so same-bucket blocking keeps recall while
-    cutting the pair space from O(n²) to O(Σ block²). Set overlap is
-    array_intersect/array_union — JVM-side, codegen'd."""
+    EXACT all-pairs similarity join via prefix filtering (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07): tokens are globally
+    ordered by (document frequency asc, token asc); a doc with |W| distinct
+    words exposes only its first |W| - ⌈t·|W|⌉ + 1 tokens in that order. Any
+    pair with jaccard ≥ t MUST share an exposed token (if all shared tokens
+    sat beyond A's prefix, |A∩B| ≤ ⌈t|A|⌉-1 < t|A| ≤ t|A∪B| — contradiction),
+    so the candidate join is on prefix tokens only — rare tokens by
+    construction, never a quadratic (lang, length) block. Candidates then
+    verify exact jaccard (array_intersect/array_union, JVM-side) and the
+    same-block constraints (block_cols + length(text)//length_bucket).
+
+    Scale shape: one groupBy on token (doc frequency), one window by doc id
+    (prefix rank), one join on prefix tokens, two id-keyed verify joins —
+    every key high-cardinality; a 10⁶-doc same-length block costs
+    O(candidates), not O(block²)."""
     base = docs.select(
         F.col(id_col).cast("string").alias("id"),
         *[F.col(c) for c in block_cols],
         (F.length(text_col) / length_bucket).cast("int").alias("_lb"),
         _word_set(text_col).alias("_words"),
     )
-    a = base.alias("a")
-    b = base.alias("b")
-    on = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
-    on.append(F.col("a._lb") == F.col("b._lb"))
-    on.append(F.col("a.id") < F.col("b.id"))
-    inter = F.size(F.array_intersect(F.col("a._words"), F.col("b._words")))
-    union = F.size(F.array_union(F.col("a._words"), F.col("b._words")))
+    toks = base.select("id", *block_cols, "_lb", F.explode("_words").alias("w"))
+    docfreq = toks.groupBy("w").agg(F.count("*").alias("_df"))
+    w_rank = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("w"))
+    prefix = (
+        toks.join(docfreq, on="w")
+        .withColumn("_rn", F.row_number().over(w_rank))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("id")))
+        .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        .select("id", *block_cols, "_lb", "w")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    on = [F.col("a.w") == F.col("b.w"), F.col("a.id") < F.col("b.id"), F.col("a._lb") == F.col("b._lb")]
+    on += [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cands = (
+        a.join(b, on=on)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa = base.select(F.col("id").alias("id_a"), F.col("_words").alias("_wa"))
+    wb = base.select(F.col("id").alias("id_b"), F.col("_words").alias("_wb"))
+    inter = F.size(F.array_intersect(F.col("_wa"), F.col("_wb")))
+    union = F.size(F.array_union(F.col("_wa"), F.col("_wb")))
     return (
-        a.join(b, on=[x for x in on])
+        cands.join(wa, on="id_a")
+        .join(wb, on="id_b")
         .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
             (inter / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -99,20 +126,24 @@ def ngram_jaccard_pairs(
 def simhash_signatures(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (id, simhash bigint): 64-bit simhash over word features.
 
-    Pure DataFrame arithmetic: per-word xxhash64, per-bit ±1 votes summed,
-    sign → bit. No Python in the loop."""
+    Pure DataFrame arithmetic: per-word 64-bit hash = first 8 bytes of
+    md5(word) (hex nibbles decoded in-expression — md5 exists in both Spark
+    and ANSI-SQL engines, so the signature is DuckDB-oracle-checkable,
+    unlike xxhash64), per-bit ±1 votes summed, sign → bit. No Python."""
     words = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.explode(_word_set(text_col)).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
-    # one row per (doc, bit): vote = +1 if bit set else -1
+    ).withColumn("hex", F.substring(F.md5("w"), 1, 16))
+    # one row per (doc, bit): bit b of the 64-bit value lives in hex char
+    # 16 - b/4 (chars are MSB-first), nibble bit b%4; vote = +1 if set
     bits = words.select(
-        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
+        "id", "hex", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit")
     ).withColumn(
-        # dynamic shift amounts need the SQL operator form (the DSL
-        # shiftright only takes an int literal)
+        "digit",
+        F.expr("conv(substring(hex, 16 - cast(bit / 4 as int), 1), 16, 10)").cast("int"),
+    ).withColumn(
         "vote",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        F.when(F.expr("(digit >> (bit % 4)) & 1") == 1, 1).otherwise(-1),
     )
     votes = bits.groupBy("id", "bit").agg(F.sum("vote").alias("v"))
     return votes.groupBy("id").agg(
@@ -156,7 +187,10 @@ def simhash_near_duplicates(
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: products a*h < 2^62 stay EXACT in int64 (no silent
+# numpy wraparound), which makes the whole minhash pipeline reproducible in
+# any 64-bit-integer SQL engine (the DuckDB oracle inlines a/b as literals)
+_MERSENNE = (1 << 31) - 1
 
 
 def _minhash_params(k: int, seed: int = 42) -> tuple:
@@ -193,9 +227,12 @@ def minhash_lsh_pairs(
                     " ".join(words[i : i + shingle])
                     for i in range(max(0, len(words) - shingle + 1))
                 } or {""}
+                # shingle hash = first 4 md5 bytes mod M (31-bit) — a*h+b
+                # then fits int64 exactly; same formula the SQL oracle runs
                 hv = np.array(
                     [
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 3
+                        int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                        % _MERSENNE
                         for s in shingles
                     ],
                     dtype=np.int64,

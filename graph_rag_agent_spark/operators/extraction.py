@@ -47,21 +47,37 @@ def extract_chunks(
     hits skip the extractor entirely (reference cache pre-check E3).
     """
     extractor = extractor or DeterministicCodeExtractor()
-    distinct = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
+    selected = chunks.select("chunk_id", "text")
 
     if cache is not None:
         cache = cache.select(
             F.col("chunk_sha1").alias("chunk_id"), F.col("raw_result")
         ).dropDuplicates(["chunk_id"])
+        distinct = selected.dropDuplicates(["chunk_id"])
         misses = distinct.join(cache, on="chunk_id", how="left_anti")
         hits = distinct.join(cache, on="chunk_id", how="inner").select(
             "chunk_id", "raw_result"
         )
     else:
-        misses, hits = distinct, None
+        # no cache → ONE shuffle: the hash repartition on chunk_id below
+        # already co-locates equal texts, so dedup happens for free inside
+        # the extraction task (a dropDuplicates here would shuffle the full
+        # chunk text a second time — the serial-I/O floor of the build)
+        misses, hits = selected, None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition streaming dedup: rows with equal chunk_id always land
+        # in the same partition (hash repartition key), batches stream
+        # through one generator per partition → `seen` is exact
+        seen: set = set()
         for pdf in batches:
+            keep = [
+                j
+                for j, cid in enumerate(pdf["chunk_id"])
+                if cid not in seen and not seen.add(cid)
+            ]
+            if len(keep) != len(pdf):
+                pdf = pdf.iloc[keep]
             texts = list(pdf["text"].fillna(""))
             ids = list(pdf["chunk_id"])
             results: list = []

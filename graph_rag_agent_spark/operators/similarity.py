@@ -100,6 +100,44 @@ def lsh_topk(
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
+def _topk_rows(
+    ids_a: np.ndarray,
+    mat_a: np.ndarray,
+    ids_b: np.ndarray,
+    mat_b: np.ndarray,
+    k: int,
+    row_chunk: int = 2048,
+) -> List[tuple]:
+    """Exact per-row top-k cosine of normalized mat_a rows against mat_b,
+    computed in ROW CHUNKS so peak memory is O(row_chunk × |b|) — one hot
+    block never materializes an n×n matrix. float64 throughout so scores
+    agree with any double-precision oracle at 6 decimals. Ties break by
+    neighbor id ascending (lexsort), self-pairs (same id) excluded."""
+    rows: List[tuple] = []
+    for lo in range(0, len(ids_a), row_chunk):
+        hi = min(lo + row_chunk, len(ids_a))
+        sims = mat_a[lo:hi] @ mat_b.T  # (chunk, |b|)
+        for r in range(hi - lo):
+            srow = sims[r]
+            self_mask = ids_b == ids_a[lo + r]
+            srow = np.where(self_mask, -2.0, srow)
+            # argpartition prunes to a candidate pool, lexsort resolves ties
+            # deterministically; if a score tie crosses the pool boundary the
+            # id-ascending tie-break needs every tied candidate → full sort
+            pool = min(len(srow), max(4 * k, k + 16))
+            if pool < len(srow):
+                cand = np.argpartition(-srow, pool - 1)[:pool]
+                kth = np.sort(srow[cand])[::-1][min(k, pool) - 1]
+                if (np.count_nonzero(srow >= kth) > pool):
+                    cand = np.arange(len(srow))
+            else:
+                cand = np.arange(len(srow))
+            order = cand[np.lexsort((ids_b[cand], -srow[cand]))]
+            top = order[: min(k, int((~self_mask).sum()))]
+            rows.extend((ids_a[lo + r], ids_b[j], float(srow[j])) for j in top)
+    return rows
+
+
 def pairwise_topk_per_label(
     embeddings: DataFrame,
     k: int = 5,
@@ -108,7 +146,11 @@ def pairwise_topk_per_label(
     label_col: str = "label",
 ) -> DataFrame:
     """Blocked all-pairs: per-label numpy cosine matrix → per-vector top-k
-    neighbors within the label block (applyInPandas, vectorized matmul)."""
+    neighbors within the label block (applyInPandas, vectorized matmul).
+
+    Memory inside a block is bounded by chunked matmul (_topk_rows): a hot
+    label costs O(chunk × |label|) per slice, not O(|label|²). A label too
+    big for one task's *row storage* should use pairwise_topk_blocked."""
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -117,18 +159,66 @@ def pairwise_topk_per_label(
                 {"vec_id": str, "neighbor_id": str, "score": float}
             )
         ids = pdf[id_col].astype(str).to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float32) for v in pdf[vec_col]])
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1
         mat = mat / norms
-        sims = mat @ mat.T
-        np.fill_diagonal(sims, -2.0)
-        rows: List[tuple] = []
-        for i in range(n):
-            top = sorted(range(n), key=lambda j: (-float(sims[i, j]), ids[j]))[: min(k, n - 1)]
-            rows.extend((ids[i], ids[j], float(sims[i, j])) for j in top)
+        rows = _topk_rows(ids, mat, ids, mat, k)
         return pd.DataFrame(rows, columns=["vec_id", "neighbor_id", "score"])
 
     return embeddings.groupBy(label_col).applyInPandas(
         per_block, schema="vec_id string, neighbor_id string, score double"
+    )
+
+
+def pairwise_topk_blocked(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Distributed exact KNN for labels too large for one task: vectors are
+    hash-split into `n_blocks` sub-blocks per label; every (block_a, block_b)
+    pair computes a PARTIAL per-vector top-k (vectorized matmul), and a
+    global window keeps the true top-k. One shuffle to group, one block-pair
+    join (each side replicated n_blocks×), one window — the standard
+    big-block exact-KNN shape; no task ever holds more than 2 sub-blocks."""
+    base = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    ).withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+    grouped = base.groupBy("label", "blk").agg(
+        F.collect_list(F.struct("vec_id", "emb")).alias("items")
+    )
+    a, b = grouped.alias("a"), grouped.alias("b")
+    paired = a.join(b, on=F.col("a.label") == F.col("b.label")).select(
+        F.col("a.items").alias("items_a"), F.col("b.items").alias("items_b")
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[tuple] = []
+            for items_a, items_b in zip(pdf["items_a"], pdf["items_b"]):
+                ids_a = np.array([r["vec_id"] for r in items_a])
+                ids_b = np.array([r["vec_id"] for r in items_b])
+                mat_a = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in items_a])
+                mat_b = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in items_b])
+                for m in (mat_a, mat_b):
+                    norms = np.linalg.norm(m, axis=1, keepdims=True)
+                    norms[norms == 0] = 1
+                    m /= norms
+                out.extend(_topk_rows(ids_a, mat_a, ids_b, mat_b, k))
+            yield pd.DataFrame(out, columns=["vec_id", "neighbor_id", "score"])
+
+    partials = paired.mapInPandas(
+        partial, schema="vec_id string, neighbor_id string, score double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        partials.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )

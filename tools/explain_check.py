@@ -67,6 +67,20 @@ def main():
         if "BatchEvalPython" in p or "ArrowEvalPython" in p:
             failures.append(f"{name}: Python UDF in the plan — should be pure SQL exprs")
 
+    # 5. scale-shape: the near-dup / knn paths must never plan a quadratic
+    # join (cartesian or nested-loop) — the round-1 weak spots. (ann_topk is
+    # exempt: its crossJoin broadcasts exactly ONE query row by design.)
+    for name in ("jaccard_pairs", "knn_per_label", "minhash_lsh_pairs"):
+        p = plan_of(entry_mod.queries()[name](spark, sf))
+        if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+            failures.append(f"{name}: quadratic join in the plan")
+
+    # 6. jaccard candidate generation joins on prefix tokens, not on the
+    # low-cardinality (lang, length-bucket) block key alone
+    pj = plan_of(entry_mod.queries()["jaccard_pairs"](spark, sf))
+    if "SortMergeJoin" not in pj and "ShuffledHashJoin" not in pj and "BroadcastHashJoin" not in pj:
+        failures.append("jaccard_pairs: no hash/merge join found (unexpected plan shape)")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
