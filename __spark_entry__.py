@@ -43,6 +43,52 @@ from graph_rag_agent_spark.operators.text_analysis import (
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+# ---------------------------------------------------------------------------
+# crafted merge fixture — the sf documents vocabulary has no near-duplicate
+# entity names, so the canonicalization rule chain (D2 cosine pairs → D3 WCC
+# → D4/D6 edit-distance merge → D10 max-degree disambiguation → D12
+# conflicts) would be oracle-checked only on empty outputs. This tiny
+# DETERMINISTIC corpus (long entity names, 1-char typo variants above the
+# 0.9 trigram-cosine cutoff, one 3-edit pair that similarity links but edit
+# distance does NOT merge) drives every rule with non-empty results in BOTH
+# the Spark pipeline and the DuckDB oracle (same literals inlined).
+# ---------------------------------------------------------------------------
+
+_W1 = "alphabetagammadeltaepsilonzetaetathetaiota"
+_W1V = "alphabetagammadeltaepsilonzetaetathetaiotx"          # lev 1, cos .97
+_W2 = "microservicearchitecturedeploymentpipelineorchestrator"
+_W2V = "microservicearchitecturedeploymentpipelineorchestratxr"  # lev 1, cos .94
+_W3 = "distributedhashtablereplicationprotocol"
+_W3V = "distributedhashtablereplicationprotocxl"             # lev 1, cos .95
+_D1 = "persistentcolumnarstoragecompactionschedulerbackgroundmaintenanceworkerprocesspoolmanager"
+_D1V = "persistentcolumnarstoragecompactixnschedulerbackgrxundmaintenanceworkerprxcesspoolmanager"  # lev 3, cos .91
+
+CRAFTED_DOCS = [
+    (1, f"{_W1} of {_W2} of {_W3}"),
+    (2, f"{_W2V} of {_W3V} of {_W1V}"),   # w1v appears only as an object
+    (3, f"{_D1} of {_W1}"),
+    (4, f"{_D1V} of {_W2}"),
+    (5, f"{_D1} of {_W3}"),               # degree(d1) > degree(d1v) → D10
+]
+
+
+def _crafted_corpus(spark: SparkSession) -> DataFrame:
+    rows = [
+        ("crafted", f"doc/{i}", f"commit{i}", "en", text) for i, text in CRAFTED_DOCS
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def _crafted_canonical(spark: SparkSession):
+    corpus = _crafted_corpus(spark)
+    chunks = chunk_documents(corpus)
+    results = extract_chunks(chunks, extractor=KeywordCooccurrenceExtractor())
+    nodes, edges, mentions = build_graph_tables(results)
+    emb = embed_entities(nodes)
+    return canonicalize(nodes, edges, mentions, emb)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -116,6 +162,111 @@ def _q_kg_canonical_triples(spark, sf_dir):
     return canonicalize(nodes, edges, mentions, emb).edges.select("subj", "pred", "obj")
 
 
+def _q_kg_similar_pairs(spark, sf_dir):
+    """D2: SIMILAR candidate pairs (blocked trigram-cosine KNN) on the
+    crafted merge fixture — non-empty, score-checked to 6 decimals."""
+    res = _crafted_canonical(spark)
+    return res.similar.select("src", "dst", F.round("score", 6).alias("score"))
+
+
+def _q_kg_wcc(spark, sf_dir):
+    """D3: connected components over SIMILAR pairs (min-id labels)."""
+    res = _crafted_canonical(spark)
+    return res.wcc.select("entity_id", "component")
+
+
+def _q_kg_merge_map(spark, sf_dir):
+    """D4/D6: within-WCC edit-distance duplicate groups → min-id rep."""
+    res = _crafted_canonical(spark)
+    return res.merge_map.select("entity_id", "canonical_id")
+
+
+def _q_kg_disambig_map(spark, sf_dir):
+    """D10: max-degree disambiguation of surviving WCC co-members."""
+    res = _crafted_canonical(spark)
+    return res.disambig_map.select("entity_id", "canonical_id")
+
+
+def _q_kg_canonical_crafted(spark, sf_dir):
+    """Full D2-D14 chain on the crafted fixture — canonical triples where
+    merges actually rewire edges (unlike the sf corpus, which has no
+    near-duplicate names)."""
+    res = _crafted_canonical(spark)
+    return res.edges.select("subj", "pred", "obj")
+
+
+def _q_alignment_conflicts(spark, sf_dir):
+    """D12: rel-type-set Jaccard conflicts within alignment groups (the
+    crafted fixture has one object-only merged entity → jaccard 0 rows)."""
+    from graph_rag_agent_spark.operators.canonicalize import alignment_conflicts
+
+    corpus = _crafted_corpus(spark)
+    chunks = chunk_documents(corpus)
+    results = extract_chunks(chunks, extractor=KeywordCooccurrenceExtractor())
+    nodes, edges, mentions = build_graph_tables(results)
+    emb = embed_entities(nodes)
+    res = canonicalize(nodes, edges, mentions, emb)
+    # conflicts are judged on PRE-merge outgoing rel types (the reference
+    # adjudicates candidate groups before merging, entity_alignment.py:81-123)
+    return alignment_conflicts(res.canonical_map, edges).select(
+        "canonical_id", "entity_a", "entity_b",
+        F.round("jaccard", 6).alias("jaccard"), "conflict",
+    )
+
+
+def _q_top_chunks_for_seeds(spark, sf_dir):
+    """Q1 retrieval: seeds = top-5 raw-graph degree entities; chunks ranked
+    by distinct seed mentions. Chunk key = sha256 of chunk text (sha1 chunk
+    ids are not reproducible in DuckDB 1.0)."""
+    corpus = _docs_as_corpus(spark, sf_dir)
+    chunks = chunk_documents(corpus)
+    results = extract_chunks(chunks, extractor=KeywordCooccurrenceExtractor())
+    _, _, mentions = build_graph_tables(results)
+    triples = parse_relationships(results).select("subj", "pred", "obj").distinct()
+    degree = (
+        triples.select(F.col("subj").alias("entity_id"))
+        .unionAll(triples.select(F.col("obj").alias("entity_id")))
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("degree"))
+    )
+    seeds = degree.orderBy(F.desc("degree"), F.asc("entity_id")).limit(5)
+    chunk_sha = chunks.select(
+        "chunk_id", F.sha2("text", 256).alias("chunk_sha")
+    ).dropDuplicates(["chunk_id"])
+    freq = (
+        mentions.join(F.broadcast(seeds.select("entity_id")), on="entity_id", how="left_semi")
+        .groupBy("chunk_id")
+        .agg(F.countDistinct("entity_id").alias("freq"))
+    )
+    return (
+        freq.join(chunk_sha, on="chunk_id")
+        .orderBy(F.desc("freq"), F.asc("chunk_sha"))
+        .limit(3)
+        .select("chunk_sha", "freq")
+    )
+
+
+def _q_consistency_report(spark, sf_dir):
+    """N8: the five graph audits as one aggregated report."""
+    from graph_rag_agent_spark.operators.consistency import validation_report
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    chunks = chunk_documents(corpus)
+    results = extract_chunks(chunks, extractor=KeywordCooccurrenceExtractor())
+    nodes, edges, mentions = build_graph_tables(results)
+    return validation_report(nodes, edges, mentions, chunks)
+
+
+def _q_kg_graph_projection(spark, sf_dir):
+    """G1: undirected weighted projection of the canonical edge table."""
+    from graph_rag_agent_spark.operators.communities import weighted_projection
+
+    nodes, edges, mentions = build_graph_tables(_raw_results(spark, sf_dir))
+    emb = embed_entities(nodes)
+    res = canonicalize(nodes, edges, mentions, emb)
+    return weighted_projection(res.edges).select("s", "d", "weight")
+
+
 def _q_entity_linking(spark, sf_dir):
     """D9 string-recall stage: levenshteinSimilarity ≥ 0.7 top-5 candidates
     for the mention 'tables' against the extracted entity vocabulary."""
@@ -162,24 +313,18 @@ def _q_ann_topk(spark, sf_dir):
 
 
 def _q_knn_per_label(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    from pyspark.sql import Window
+    """Exact per-label KNN via the vectorized per-block matmul operator
+    (chunked — a hot label costs O(chunk×|label|) memory, not O(|label|²));
+    the distributed block-pair variant (pairwise_topk_blocked) is the path
+    for labels too large for one task and is equality-tested in pytest."""
+    from graph_rag_agent_spark.operators.similarity import pairwise_topk_per_label
 
-    scored = a.join(
-        b, on=[F.col("a.label") == F.col("b.label"), F.col("a.vec_id") != F.col("b.vec_id")]
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("neighbor_id"),
-        cosine_col(F.col("a.e"), F.col("b.e")).alias("score"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("vec_id", "neighbor_id", F.round("score", 6).alias("score"))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    topk = pairwise_topk_per_label(emb, k=5)
+    return topk.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -256,6 +401,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_degree": _q_kg_entity_degree,
         "kg_mention_counts": _q_kg_mention_counts,
         "kg_canonical_triples": _q_kg_canonical_triples,
+        "kg_similar_pairs": _q_kg_similar_pairs,
+        "kg_wcc": _q_kg_wcc,
+        "kg_merge_map": _q_kg_merge_map,
+        "kg_disambig_map": _q_kg_disambig_map,
+        "kg_canonical_crafted": _q_kg_canonical_crafted,
+        "alignment_conflicts": _q_alignment_conflicts,
+        "top_chunks_for_seeds": _q_top_chunks_for_seeds,
+        "consistency_report": _q_consistency_report,
+        "kg_graph_projection": _q_kg_graph_projection,
         "entity_linking": _q_entity_linking,
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
@@ -277,14 +431,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-# shared CTE: per-doc ordered distinct words (≥6 chars, identifier-shaped) —
-# the deterministic keyword extractor's entity rule
-_WORDS_CTE = """
-WITH toks AS (
+# shared CTE body: per-doc ordered distinct words (≥4 chars,
+# identifier-shaped) — the deterministic keyword extractor's entity rule.
+# Parameterized by source table so the crafted fixture reuses the chain.
+def _words_body(table: str = "documents") -> str:
+    return f"""
+toks AS (
     SELECT doc_id,
            unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
            generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS idx
-    FROM documents
+    FROM {table}
 ), ents AS (
     SELECT doc_id, lower(w) AS w, min(idx) AS first_idx
     FROM toks
@@ -297,12 +453,216 @@ WITH toks AS (
 )
 """
 
+
+_WORDS_CTE = "WITH " + _words_body()
+
 _PAIRS_CTE = _WORDS_CTE + """
 , pairs AS (
     SELECT a.doc_id, a.w AS subj, 'cooccurs' AS pred, b.w AS obj
     FROM ordered a JOIN ordered b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# canonicalization chain in SQL — the DuckDB twin of operators/canonicalize
+# (D2 blocked trigram-cosine KNN → D3 WCC → D4/D6 edit-distance merge →
+# D10 max-degree disambiguation → composed map → rewired distinct triples).
+# The hash-projection embedding is reproduced EXACTLY: trigram → first 8
+# bytes of sha256 → bucket h%64, sign bit 63 (functions/embedder.py).
+# MATERIALIZED keeps DuckDB from re-inlining the shared sub-chains
+# exponentially. Entity names here are ascii (lowered identifiers), so the
+# normalizer's CJK range never matches and [^0-9a-z] suffices.
+# ---------------------------------------------------------------------------
+def _canon_body(table: str = "documents") -> str:
+    return _words_body(table) + """
+, pairs_raw AS MATERIALIZED (
+    SELECT DISTINCT a.w AS subj, 'cooccurs' AS pred, b.w AS obj
+    FROM ordered a JOIN ordered b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+), vocab AS MATERIALIZED (
+    SELECT DISTINCT w FROM ordered
+), vnorm AS MATERIALIZED (
+    SELECT w,
+           regexp_replace(w, '[^0-9a-z]+', '', 'g') AS nw,
+           regexp_replace(w || ' term ' || w, '[^0-9a-z]+', '', 'g') AS et
+    FROM vocab
+), tripos AS (
+    SELECT w, et, unnest(generate_series(1, greatest(length(et) - 2, 1))) AS i
+    FROM vnorm WHERE length(et) > 0
+), tri AS (
+    SELECT w, CASE WHEN length(et) <= 3 THEN et
+                   ELSE substring(et, i::int, 3) END AS g
+    FROM tripos
+), feat AS (
+    SELECT w, ('0x' || substr(sha256(g), 1, 16))::UBIGINT AS h FROM tri
+), vec AS MATERIALIZED (
+    SELECT w, (h % 64)::int AS idx,
+           SUM(CASE WHEN (h >> 63) & 1 = 1 THEN 1.0 ELSE -1.0 END) AS v
+    FROM feat GROUP BY w, h % 64
+), vnorms AS MATERIALIZED (
+    SELECT w, sqrt(SUM(v * v)) AS nrm FROM vec GROUP BY w
+), blocks AS MATERIALIZED (
+    SELECT w, CASE WHEN nw = '' THEN '∅' ELSE substr(nw, 1, 4) END AS blk
+    FROM vnorm
+), dots AS (
+    SELECT a.w AS wa, b.w AS wb, SUM(a.v * b.v) AS dot
+    FROM vec a
+    JOIN blocks ba ON ba.w = a.w
+    JOIN blocks bb ON bb.blk = ba.blk
+    JOIN vec b ON b.w = bb.w AND b.idx = a.idx AND a.w < b.w
+    GROUP BY a.w, b.w
+), cosims AS MATERIALIZED (
+    SELECT wa, wb, dot / (na.nrm * nb.nrm) AS score
+    FROM dots JOIN vnorms na ON na.w = wa JOIN vnorms nb ON nb.w = wb
+    WHERE na.nrm > 0 AND nb.nrm > 0
+), cand AS (
+    SELECT wa, wb, score FROM cosims WHERE score >= 0.9
+), directed AS (
+    SELECT wa AS src, wb AS dst, score FROM cand
+    UNION ALL
+    SELECT wb AS src, wa AS dst, score FROM cand
+), ranked AS (
+    SELECT src, dst, score,
+           row_number() OVER (PARTITION BY src ORDER BY score DESC, dst ASC) AS rn
+    FROM directed
+), sim_edges AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM ranked WHERE rn <= 10
+), und AS (
+    SELECT a AS x, b AS y FROM sim_edges
+    UNION ALL SELECT b AS x, a AS y FROM sim_edges
+), reach AS (
+    SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM und)
+    UNION
+    SELECT und.x AS id, reach.r FROM und JOIN reach ON und.y = reach.id
+), wcc AS MATERIALIZED (
+    SELECT v.w AS id, coalesce(a.comp, v.w) AS comp
+    FROM vocab v
+    LEFT JOIN (SELECT id, min(r) AS comp FROM reach GROUP BY id) a ON a.id = v.w
+), mm_pairs AS (
+    SELECT a.id AS x, b.id AS y
+    FROM wcc a JOIN wcc b ON a.comp = b.comp AND a.id < b.id
+    WHERE length(a.id) > 1 AND length(b.id) > 1
+      AND levenshtein(a.id, b.id) < 3
+), mmund AS (
+    SELECT x, y FROM mm_pairs UNION ALL SELECT y AS x, x AS y FROM mm_pairs
+), mreach AS (
+    SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM mmund)
+    UNION
+    SELECT mmund.x AS id, mreach.r FROM mmund JOIN mreach ON mmund.y = mreach.id
+), merge_map AS MATERIALIZED (
+    SELECT id AS e, rep FROM (SELECT id, min(r) AS rep FROM mreach GROUP BY id)
+    WHERE id <> rep
+), edges_m AS MATERIALIZED (
+    SELECT DISTINCT coalesce(ms.rep, p.subj) AS subj, p.pred,
+                    coalesce(mo.rep, p.obj) AS obj
+    FROM pairs_raw p
+    LEFT JOIN merge_map ms ON ms.e = p.subj
+    LEFT JOIN merge_map mo ON mo.e = p.obj
+    WHERE coalesce(ms.rep, p.subj) <> coalesce(mo.rep, p.obj)
+), deg AS MATERIALIZED (
+    SELECT id, count(*) AS degree FROM (
+        SELECT subj AS id FROM edges_m UNION ALL SELECT obj AS id FROM edges_m
+    ) GROUP BY id
+), surviving AS (
+    SELECT w.id, w.comp, coalesce(d.degree, 0) AS degree
+    FROM wcc w
+    LEFT JOIN merge_map m ON m.e = w.id
+    LEFT JOIN deg d ON d.id = w.id
+    WHERE m.e IS NULL
+), dmap AS MATERIALIZED (
+    SELECT e, canon FROM (
+        SELECT id AS e,
+               first_value(id) OVER (
+                   PARTITION BY comp ORDER BY degree DESC, id ASC
+               ) AS canon
+        FROM surviving
+    ) WHERE e <> canon
+), cmap AS MATERIALIZED (
+    SELECT m.e, coalesce(d.canon, m.rep) AS canon
+    FROM merge_map m LEFT JOIN dmap d ON d.e = m.rep
+    UNION ALL
+    SELECT e, canon FROM dmap
+), canon_triples AS MATERIALIZED (
+    SELECT DISTINCT coalesce(cs.canon, p.subj) AS subj, p.pred,
+                    coalesce(co.canon, p.obj) AS obj
+    FROM pairs_raw p
+    LEFT JOIN cmap cs ON cs.e = p.subj
+    LEFT JOIN cmap co ON co.e = p.obj
+    WHERE coalesce(cs.canon, p.subj) <> coalesce(co.canon, p.obj)
+)
+"""
+
+
+_CANON_CTE = "WITH RECURSIVE " + _canon_body("documents")
+
+_CRAFTED_VALUES = "crafted_docs(doc_id, text) AS (VALUES {rows})".format(
+    rows=", ".join(f"({i}, '{t}')" for i, t in CRAFTED_DOCS)
+)
+_CRAFTED_CANON_CTE = (
+    "WITH RECURSIVE " + _CRAFTED_VALUES + ", " + _canon_body("crafted_docs")
+)
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of operators/dedup.minhash_lsh_pairs — the (a, b) hash
+    params are the same seed-42 draws, inlined as literals; all arithmetic
+    is exact int64 (31-bit Mersenne modulus, see dedup.py)."""
+    from graph_rag_agent_spark.operators.dedup import _minhash_params
+
+    ha, hb = _minhash_params(64, seed=42)
+    rows = ", ".join(f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(ha, hb)))
+    return f"""
+        WITH w AS (
+            SELECT doc_id::varchar AS id,
+                   regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+            FROM documents
+        ), idx AS (
+            SELECT id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+            FROM w WHERE len(ws) >= 3
+        ), shing AS (
+            SELECT DISTINCT id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx
+            UNION
+            SELECT id, '' AS s FROM w WHERE len(ws) < 3
+        ), hv AS (
+            SELECT id, (('0x' || substr(md5(s), 1, 8))::UBIGINT % 2147483647)::BIGINT AS h
+            FROM shing
+        ), params(i, a, b) AS (VALUES {rows}),
+        mins AS (
+            SELECT id, p.i AS i, min((p.a * h + p.b) % 2147483647) AS m
+            FROM hv, params p GROUP BY id, p.i
+        ), banded AS (
+            SELECT id, md5((i // 4)::varchar || ':' ||
+                           string_agg(m::varchar, ',' ORDER BY i)) AS band
+            FROM mins GROUP BY id, i // 4
+        )
+        SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id"""
+
+
+_SIMHASH_ORACLE = r"""
+    WITH words AS (
+        SELECT doc_id::varchar AS id,
+               unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS w
+        FROM documents
+    ), hexes AS (
+        SELECT id, substr(md5(w), 1, 16) AS hex FROM words
+    ), bits AS (
+        SELECT id, hex, unnest(generate_series(0, 63)) AS bit FROM hexes
+    ), votes AS (
+        SELECT id, bit,
+               SUM(CASE WHEN ((strpos('0123456789abcdef',
+                                      substr(hex, (16 - bit // 4)::int, 1)) - 1)
+                             >> (bit % 4)::int) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM bits GROUP BY id, bit
+    )
+    SELECT id AS doc_id,
+           SUM(CASE WHEN v > 0 THEN
+                    CASE WHEN bit = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << bit::int) END
+               ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -315,6 +675,109 @@ def oracle_sql() -> dict[str, str]:
     )
     en_words = LANG_MARKERS["en"]
     return {
+        "kg_canonical_triples": _CANON_CTE
+        + "SELECT subj, pred, obj FROM canon_triples",
+        "kg_canonical_crafted": _CRAFTED_CANON_CTE
+        + "SELECT subj, pred, obj FROM canon_triples",
+        "kg_similar_pairs": _CRAFTED_CANON_CTE + """
+            SELECT s.a AS src, s.b AS dst, round(c.score, 6) AS score
+            FROM sim_edges s JOIN cosims c ON c.wa = s.a AND c.wb = s.b""",
+        "kg_wcc": _CRAFTED_CANON_CTE
+        + "SELECT id AS entity_id, comp AS component FROM wcc",
+        "kg_merge_map": _CRAFTED_CANON_CTE
+        + "SELECT e AS entity_id, rep AS canonical_id FROM merge_map",
+        "kg_disambig_map": _CRAFTED_CANON_CTE
+        + "SELECT e AS entity_id, canon AS canonical_id FROM dmap",
+        "alignment_conflicts": _CRAFTED_CANON_CTE + """
+            , members AS (
+                SELECT canon AS canonical_id, e AS entity_id FROM cmap
+                UNION
+                SELECT DISTINCT canon AS canonical_id, canon AS entity_id FROM cmap
+            ), rel_types AS (
+                SELECT subj AS entity_id,
+                       list_sort(list_distinct(list(pred))) AS types
+                FROM pairs_raw GROUP BY subj
+            ), typed AS (
+                SELECT m.canonical_id, m.entity_id,
+                       coalesce(r.types, []) AS types
+                FROM members m LEFT JOIN rel_types r ON r.entity_id = m.entity_id
+            ), scored AS (
+                SELECT a.canonical_id, a.entity_id AS entity_a,
+                       b.entity_id AS entity_b,
+                       CASE WHEN len(list_distinct(a.types || b.types)) = 0 THEN 1.0
+                            ELSE len(list_intersect(a.types, b.types))::double
+                                 / len(list_distinct(a.types || b.types)) END AS jac
+                FROM typed a JOIN typed b
+                  ON a.canonical_id = b.canonical_id AND a.entity_id < b.entity_id
+            )
+            SELECT canonical_id, entity_a, entity_b,
+                   round(jac, 6) AS jaccard, (jac < 0.5) AS conflict
+            FROM scored""",
+        "top_chunks_for_seeds": _WORDS_CTE + """
+            , triples AS (
+                SELECT DISTINCT a.w AS subj, b.w AS obj
+                FROM ordered a JOIN ordered b
+                  ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+            ), deg AS (
+                SELECT entity_id, count(*) AS degree FROM (
+                    SELECT subj AS entity_id FROM triples
+                    UNION ALL SELECT obj AS entity_id FROM triples
+                ) GROUP BY entity_id
+            ), seeds AS (
+                SELECT entity_id FROM deg ORDER BY degree DESC, entity_id LIMIT 5
+            ), m AS (
+                SELECT DISTINCT sha256(d.text) AS chunk_sha, o.w AS entity_id
+                FROM ordered o JOIN documents d ON o.doc_id = d.doc_id
+            ), freq AS (
+                SELECT chunk_sha, count(DISTINCT entity_id) AS freq
+                FROM m JOIN seeds USING (entity_id) GROUP BY chunk_sha
+            )
+            SELECT chunk_sha, freq FROM freq ORDER BY freq DESC, chunk_sha LIMIT 3""",
+        "consistency_report": _WORDS_CTE + """
+            , vocab AS (SELECT DISTINCT w FROM ordered),
+            chunk_shas AS (SELECT DISTINCT sha256(text) AS cs FROM documents),
+            report AS (
+                SELECT 'orphan_entities' AS chk,
+                       (SELECT count(*) FROM vocab v
+                        WHERE v.w NOT IN (SELECT w FROM ordered)) AS violation_count
+                UNION ALL
+                SELECT 'dangling_mentions',
+                       (SELECT count(*) FROM
+                          (SELECT DISTINCT sha256(d.text) AS cs
+                           FROM ordered o JOIN documents d ON o.doc_id = d.doc_id) x
+                        WHERE x.cs NOT IN (SELECT cs FROM chunk_shas))
+                UNION ALL
+                SELECT 'empty_chunks',
+                       (SELECT count(*) FROM documents
+                        WHERE length(text) = 0
+                           OR len(regexp_extract_all(text, '\\w+|\\s+|[^\\w\\s]')) <= 0)
+                UNION ALL
+                -- single-chunk docs (all sf docs fit one window): position=1
+                -- and prev=self by construction; a chunker bug would surface
+                -- as a nonzero Spark count mismatching this 0
+                SELECT 'broken_chains', 0
+                UNION ALL
+                SELECT 'edge_endpoints_missing',
+                       (SELECT count(*) FROM (
+                            SELECT DISTINCT subj AS id FROM (
+                                SELECT a.w AS subj, b.w AS obj
+                                FROM ordered a JOIN ordered b
+                                  ON a.doc_id = b.doc_id AND b.rn = a.rn + 1)
+                            UNION
+                            SELECT DISTINCT obj AS id FROM (
+                                SELECT a.w AS subj, b.w AS obj
+                                FROM ordered a JOIN ordered b
+                                  ON a.doc_id = b.doc_id AND b.rn = a.rn + 1)
+                        ) e WHERE e.id NOT IN (SELECT w FROM vocab))
+            )
+            SELECT chk AS "check", violation_count FROM report""",
+        "kg_graph_projection": _CANON_CTE + """
+            SELECT least(subj, obj) AS s, greatest(subj, obj) AS d,
+                   count(*)::double AS weight
+            FROM canon_triples WHERE subj <> obj
+            GROUP BY least(subj, obj), greatest(subj, obj)""",
+        "simhash_signatures": _SIMHASH_ORACLE,
+        "minhash_lsh_pairs": _minhash_oracle_sql(),
         "kg_triples_raw": _PAIRS_CTE + "SELECT DISTINCT subj, pred, obj FROM pairs",
         "kg_entities": _WORDS_CTE
         + "SELECT DISTINCT w AS entity_id, 'term' AS entity_type FROM ordered",
@@ -445,8 +908,4 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY r.r_name""",
-        # kg_canonical_triples, simhash_signatures, minhash_lsh_pairs:
-        # intentionally omitted — non-SQL-expressible (iterative CC loop /
-        # xxhash64 & md5-banded minhash not reproducible in DuckDB);
-        # driver records rows-only checks, pytest covers exactness.
     }

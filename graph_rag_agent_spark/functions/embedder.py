@@ -34,9 +34,12 @@ def _token_features(text: str) -> List[str]:
 
 
 def embed_text(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
-    vec = np.zeros(dim, dtype=np.float32)
+    """sha256 (not sha1) so the projection is reproducible in ANSI SQL —
+    DuckDB: idx = ('0x' || substr(sha256(t), 1, 16))::UBIGINT % dim — which
+    lets the driver's oracle check the full canonicalization pipeline."""
+    vec = np.zeros(dim, dtype=np.float64)
     for feat in _token_features(text):
-        h = int.from_bytes(hashlib.sha1(feat.encode("utf-8")).digest()[:8], "big")
+        h = int.from_bytes(hashlib.sha256(feat.encode("utf-8")).digest()[:8], "big")
         idx = h % dim
         sign = 1.0 if (h >> 63) & 1 else -1.0
         vec[idx] += sign
@@ -47,7 +50,7 @@ def embed_text(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
 
 
 def embed_texts(texts: List[str], dim: int = EMBEDDING_DIM) -> np.ndarray:
-    return np.stack([embed_text(t, dim) for t in texts]) if texts else np.zeros((0, dim), np.float32)
+    return np.stack([embed_text(t, dim) for t in texts]) if texts else np.zeros((0, dim), np.float64)
 
 
 def cosine(a: np.ndarray, b: np.ndarray) -> float:

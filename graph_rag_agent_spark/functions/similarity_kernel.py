@@ -69,7 +69,7 @@ def pairs_for_block(
         if n < 2:
             continue
         sub_ids = [ids[i] for i in idxs]
-        mat = embs[idxs].astype(np.float32, copy=False)
+        mat = embs[idxs].astype(np.float64, copy=False)
         lens = np.linalg.norm(mat, axis=1, keepdims=True)
         lens[lens == 0] = 1.0
         mat = mat / lens

@@ -28,10 +28,27 @@ def embedding_text_col() -> F.Column:
     return F.concat_ws(" ", F.col("entity_id"), F.col("description"))
 
 
+def _embed_rows(texts, dim: int, embedder=None) -> list:
+    """Per-row embedding with the reference's failure semantics
+    (entity_indexer.py:189-205): a row whose embed call raises degrades to
+    the ZERO VECTOR and the batch continues — one poisoned row must never
+    fail the task (at 10⁹ rows a per-task failure is a pipeline outage)."""
+    fn = embedder or embed_text
+    out = []
+    for t in texts:
+        try:
+            vec = fn(t, dim)
+            out.append([float(x) for x in vec])
+        except Exception:
+            out.append([0.0] * dim)
+    return out
+
+
 def embed_entities(
     nodes: DataFrame,
     existing: Optional[DataFrame] = None,
     dim: int = EMBEDDING_DIM,
+    embedder=None,
 ) -> DataFrame:
     """nodes(entity_id, description, ...) →
     entity_embeddings(entity_id, embedding, text_sha).
@@ -40,7 +57,9 @@ def embed_entities(
     embedded text is unchanged; a changed description re-embeds — the
     text-hash equivalent of the reference's needs_reembedding flag
     (embedding_manager.py:49-117). Embeddings of entities no longer in
-    `nodes` are dropped."""
+    `nodes` are dropped. `embedder` is the pluggable text→vector slot (an
+    OpenAI-compatible client in the reference); failures zero-vector the
+    row, not the task."""
     cur = nodes.select(
         "entity_id",
         embedding_text_col().alias("_text"),
@@ -59,7 +78,7 @@ def embed_entities(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = [embed_text(t, dim).tolist() for t in pdf["_text"].fillna("")]
+            embs = _embed_rows(pdf["_text"].fillna(""), dim, embedder)
             yield pd.DataFrame(
                 {
                     "entity_id": pdf["entity_id"],
@@ -72,7 +91,7 @@ def embed_entities(
     # node shuffle to ~1 partition; embedding cost is per-row, not per-byte)
     n_part = nodes.sparkSession.sparkContext.defaultParallelism
     fresh = todo.repartition(n_part, "entity_id").mapInPandas(
-        run, schema="entity_id string, embedding array<float>, text_sha string"
+        run, schema="entity_id string, embedding array<double>, text_sha string"
     )
     return fresh.unionByName(valid) if valid is not None else fresh
 
@@ -81,6 +100,7 @@ def embed_chunks(
     chunks: DataFrame,
     existing: Optional[DataFrame] = None,
     dim: int = EMBEDDING_DIM,
+    embedder=None,
 ) -> DataFrame:
     """I2: chunks(chunk_id, text) → chunk_embeddings(chunk_id, embedding).
 
@@ -96,10 +116,10 @@ def embed_chunks(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = [embed_text(t, dim).tolist() for t in pdf["text"].fillna("")]
+            embs = _embed_rows(pdf["text"].fillna(""), dim, embedder)
             yield pd.DataFrame({"chunk_id": pdf["chunk_id"], "embedding": embs})
 
-    fresh = todo.mapInPandas(run, schema="chunk_id string, embedding array<float>")
+    fresh = todo.mapInPandas(run, schema="chunk_id string, embedding array<double>")
     if existing is not None:
         fresh = fresh.unionByName(existing.select("chunk_id", "embedding"))
     return fresh
