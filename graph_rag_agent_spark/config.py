@@ -58,8 +58,13 @@ BLOCK_SALT_FACTOR = 16        # number of salt buckets for hot blocks
 
 # ---- communities -------------------------------------------------------------
 COMMUNITY_MAX_LEVELS = 2      # reference leiden.py fallback maxLevels=2
-COMMUNITY_MAX_ITER = 10       # label-propagation sweeps per level
+COMMUNITY_MAX_ITER = 10       # local-move / label-propagation sweeps per level
 COMMUNITY_TOP_SUMMARIES = 200  # reference summary/leiden.py:10-151 LIMIT 200
+COMMUNITY_GAMMA = 1.0          # Leiden resolution (reference gds.leiden gamma)
+# ≤ this many projected edges → exact driver-side Leiden kernel (the
+# reference's gds.leiden is likewise in-JVM single-machine); above it, the
+# distributed weighted-LPA + contraction approximation runs
+COMMUNITY_DRIVER_THRESHOLD = 2_000_000
 
 # ---- connected components -----------------------------------------------------
 CC_MAX_ITERATIONS = 50    # safety bound; similarity clusters have tiny diameter

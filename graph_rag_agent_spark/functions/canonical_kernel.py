@@ -49,11 +49,11 @@ def wcc_of(ids: Sequence[str], pairs: Iterable[Tuple[str, str]]) -> Dict[str, st
     return {eid: uf.find(eid) for eid in ids}
 
 
-def merge_map_of(
+def merge_groups_of(
     wcc: Dict[str, str], max_edit_distance: int = WORD_EDIT_DISTANCE
-) -> Dict[str, str]:
-    """Edit-distance duplicate groups within each WCC → {entity: group rep}
-    for merged-away entities only (rep = min id)."""
+) -> Dict[str, List[str]]:
+    """Edit-distance duplicate groups within each WCC → {rep: sorted members}
+    for multi-member groups (rep = min id)."""
     comp_members: Dict[str, List[str]] = defaultdict(list)
     for eid, comp in wcc.items():
         if len(eid) > 1:
@@ -68,13 +68,50 @@ def merge_map_of(
             for j in range(i + 1, len(members)):
                 if levenshtein(lowered[i], lowered[j]) < max_edit_distance:
                     uf.union(members[i], members[j])
-    return {e: uf.find(e) for e in uf.parent if uf.find(e) != e}
+    groups: Dict[str, List[str]] = defaultdict(list)
+    for e in uf.parent:
+        groups[uf.find(e)].append(e)
+    return {rep: sorted(ms) for rep, ms in groups.items() if len(ms) > 1}
+
+
+def merge_map_of(
+    wcc: Dict[str, str],
+    max_edit_distance: int = WORD_EDIT_DISTANCE,
+    adjudicator=None,
+) -> Dict[str, str]:
+    """Duplicate groups → {entity: canonical} for merged-away entities only.
+
+    `adjudicator` is the D5 LLM slot (reference entity_merger.py:165-311:
+    the model picks the surviving entity of each duplicate group): a
+    callable sorted-members → canonical id. Default (None) = the
+    deterministic min-id rule. A pick outside the group falls back to
+    min-id (the reference's LLM-failure fallback)."""
+    out: Dict[str, str] = {}
+    for rep, members in merge_groups_of(wcc, max_edit_distance).items():
+        canon = rep
+        if adjudicator is not None:
+            pick = adjudicator(list(members))
+            if pick in members:
+                canon = pick
+        for e in members:
+            if e != canon:
+                out[e] = canon
+    return out
 
 
 def disambig_map_of(
-    wcc: Dict[str, str], merge_map: Dict[str, str], degrees: Dict[str, int]
+    wcc: Dict[str, str],
+    merge_map: Dict[str, str],
+    degrees: Dict[str, int],
+    resolver=None,
 ) -> Dict[str, str]:
-    """Surviving WCC groups of ≥2 → canonical = (max degree, min id)."""
+    """Surviving WCC groups of ≥2 → canonical = (max degree, min id).
+
+    `resolver` is the D13 LLM slot (reference entity_disambiguation.py:
+    158-276: the model picks the canonical of a conflicting group; the
+    max-degree rule is its deterministic fallback): callable
+    (sorted members, {member: degree}) → canonical id; an out-of-group pick
+    falls back to the degree rule."""
     surviving: Dict[str, List[str]] = defaultdict(list)
     for eid, comp in wcc.items():
         if eid not in merge_map:
@@ -83,7 +120,14 @@ def disambig_map_of(
     for members in surviving.values():
         if len(members) < 2:
             continue
-        canon = min(members, key=lambda e: (-degrees.get(e, 0), e))
+        members = sorted(members)
+        canon = None
+        if resolver is not None:
+            pick = resolver(list(members), {e: degrees.get(e, 0) for e in members})
+            if pick in members:
+                canon = pick
+        if canon is None:
+            canon = min(members, key=lambda e: (-degrees.get(e, 0), e))
         for e in members:
             if e != canon:
                 dmap[e] = canon

@@ -101,7 +101,7 @@ def similar_edges(
             return pd.DataFrame({"src": [], "dst": [], "score": []}).astype(
                 {"src": str, "dst": str, "score": float}
             )
-        embs = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["embedding"]])
+        embs = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
         rows = pairs_for_block(
             list(pdf["entity_id"]), list(pdf["_norm"]), embs,
             cutoff=cutoff, topk=topk, threshold=threshold,
@@ -161,9 +161,20 @@ def duplicate_groups(labels: DataFrame, max_edit_distance: int = WORD_EDIT_DISTA
     b = members.alias("b")
     pairs = (
         a.join(b, on=(F.col("a.component") == F.col("b.component")) & (F.col("a.entity_id") < F.col("b.entity_id")))
+        # lev(x, y) < d ⇒ |len(x) - len(y)| < d: free exact prefilter that
+        # skips the O(len²) levenshtein for most pairs of a hot component
         .filter(
-            F.levenshtein(F.lower("a.entity_id"), F.lower("b.entity_id"))
+            F.abs(F.length("a.entity_id") - F.length("b.entity_id"))
             < max_edit_distance
+        )
+        # bounded levenshtein (threshold=d-1 → -1 when above): O(d·len)
+        # per pair instead of O(len²) — distance < d ⟺ result ≥ 0
+        .filter(
+            F.levenshtein(
+                F.lower("a.entity_id"), F.lower("b.entity_id"),
+                max_edit_distance - 1,
+            )
+            >= 0
         )
         .select(F.col("a.entity_id").alias("src"), F.col("b.entity_id").alias("dst"))
     )
@@ -246,17 +257,41 @@ def degree_table(edges: DataFrame) -> DataFrame:
     )
 
 
-def disambiguation_map(labels: DataFrame, edges: DataFrame) -> DataFrame:
+def disambiguation_map(
+    labels: DataFrame, edges: DataFrame, resolver=None
+) -> DataFrame:
     """wcc groups of ≥2 surviving members → canonical = max degree, tie →
     min entity_id (D10); → canonical_map(entity_id, canonical_id) rows only
-    for entities that change."""
+    for entities that change.
+
+    `resolver` is the D13 LLM adjudication slot (reference
+    entity_disambiguation.py:158-276): callable (sorted members,
+    {member: degree}) → canonical id, run as an Arrow-batched
+    applyInPandas per component (one model call per conflicting group —
+    the production shape). None = the pure-DataFrame window rule."""
     deg = degree_table(edges)
     members = labels.join(deg, on="entity_id", how="left").fillna({"degree": 0})
-    w = Window.partitionBy("component").orderBy(F.desc("degree"), F.asc("entity_id"))
-    ranked = members.withColumn("_canon", F.first("entity_id").over(w))
-    return (
-        ranked.filter(F.col("entity_id") != F.col("_canon"))
-        .select("entity_id", F.col("_canon").alias("canonical_id"))
+    if resolver is None:
+        w = Window.partitionBy("component").orderBy(F.desc("degree"), F.asc("entity_id"))
+        ranked = members.withColumn("_canon", F.first("entity_id").over(w))
+        return (
+            ranked.filter(F.col("entity_id") != F.col("_canon"))
+            .select("entity_id", F.col("_canon").alias("canonical_id"))
+        )
+
+    def per_component(pdf: pd.DataFrame) -> pd.DataFrame:
+        ms = sorted(pdf["entity_id"])
+        if len(ms) < 2:
+            return pd.DataFrame({"entity_id": [], "canonical_id": []}).astype(str)
+        degs = dict(zip(pdf["entity_id"], (int(d) for d in pdf["degree"])))
+        pick = resolver(list(ms), {e: degs.get(e, 0) for e in ms})
+        if pick not in ms:
+            pick = min(ms, key=lambda e: (-degs.get(e, 0), e))
+        rows = [(e, pick) for e in ms if e != pick]
+        return pd.DataFrame(rows, columns=["entity_id", "canonical_id"])
+
+    return members.groupBy("component").applyInPandas(
+        per_component, schema="entity_id string, canonical_id string"
     )
 
 
@@ -316,6 +351,7 @@ class CanonicalizationResult(NamedTuple):
     wcc: DataFrame
     merge_map: DataFrame
     disambig_map: DataFrame
+    canonical_map: DataFrame  # composed disambig ∘ merge (entity_id, canonical_id)
 
 
 def canonicalize(
@@ -327,6 +363,8 @@ def canonicalize(
     topk: int = SIMILARITY_TOPK,
     max_edit_distance: int = WORD_EDIT_DISTANCE,
     driver_threshold_entities: int = CANON_DRIVER_THRESHOLD,
+    adjudicator=None,
+    resolver=None,
 ) -> CanonicalizationResult:
     """Full D2-D14 sequence — SIZE-ADAPTIVE like the reference's GDS
     (which runs KNN/WCC in the Neo4j JVM's memory):
@@ -346,26 +384,47 @@ def canonicalize(
     pass. Map composition preserves the final (subj, pred, obj) set (dedup
     after composed mapping ≡ dedup after each phase) while halving the
     full-edge-table shuffles — the edge table is the 10^12-row side; the
-    maps are the tiny side."""
+    maps are the tiny side.
+
+    `adjudicator` (D5) picks each duplicate group's surviving entity;
+    `resolver` (D13) picks each conflicting group's canonical — both are
+    the reference's LLM slots (entity_merger.py:165-311,
+    entity_disambiguation.py:158-276), run as one Arrow-batched call per
+    group in the distributed path; None = the deterministic rules."""
     spark = nodes.sparkSession
     emb_rows = embeddings.select("entity_id", "embedding").take(
         driver_threshold_entities + 1
     )
     if len(emb_rows) <= driver_threshold_entities:
         return _canonicalize_driver(
-            spark, nodes, edges, mentions, emb_rows, cutoff, topk, max_edit_distance
+            spark, nodes, edges, mentions, emb_rows, cutoff, topk,
+            max_edit_distance, adjudicator, resolver,
         )
 
     similar = similar_edges(embeddings, cutoff=cutoff, topk=topk).localCheckpoint(eager=True)
     labels = wcc_labels(embeddings, similar).localCheckpoint(eager=True)
 
-    # phase M: edit-distance duplicate groups within wcc → merge to min id
+    # phase M: edit-distance duplicate groups within wcc → merge rep (D5:
+    # min id, or one adjudicator call per group)
     groups = duplicate_groups(labels, max_edit_distance=max_edit_distance)
-    merge_map = (
-        groups.filter(F.col("entity_id") != F.col("group_id"))
-        .select("entity_id", F.col("group_id").alias("canonical_id"))
-        .localCheckpoint(eager=True)
-    )
+    if adjudicator is None:
+        merge_map = groups.filter(F.col("entity_id") != F.col("group_id")).select(
+            "entity_id", F.col("group_id").alias("canonical_id")
+        )
+    else:
+
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            ms = sorted(pdf["entity_id"])
+            pick = adjudicator(list(ms))
+            if pick not in ms:
+                pick = ms[0]
+            rows = [(e, pick) for e in ms if e != pick]
+            return pd.DataFrame(rows, columns=["entity_id", "canonical_id"])
+
+        merge_map = groups.groupBy("group_id").applyInPandas(
+            per_group, schema="entity_id string, canonical_id string"
+        )
+    merge_map = merge_map.localCheckpoint(eager=True)
 
     # phase A degrees: distinct triples after the (lazy) phase-M mapping
     bmerge = F.broadcast(merge_map)
@@ -381,7 +440,9 @@ def canonicalize(
         .dropDuplicates(["subj", "pred", "obj"])
     )
     surviving_labels = labels.join(bmerge, on="entity_id", how="left_anti")
-    disambig_map = disambiguation_map(surviving_labels, edges_m).localCheckpoint(eager=True)
+    disambig_map = disambiguation_map(
+        surviving_labels, edges_m, resolver=resolver
+    ).localCheckpoint(eager=True)
 
     # combined map: entity →(M)→ group rep →(A)→ canonical
     dis_renamed = disambig_map.select(
@@ -409,6 +470,7 @@ def canonicalize(
         wcc=labels,
         merge_map=merge_map,
         disambig_map=disambig_map,
+        canonical_map=combined_map,
     )
 
 
@@ -421,18 +483,20 @@ def _canonicalize_driver(
     cutoff: float,
     topk: float,
     max_edit_distance: int,
+    adjudicator=None,
+    resolver=None,
 ) -> CanonicalizationResult:
     """Driver fast path: similarity pairs + WCC + duplicate groups + map
     composition via the shared kernels; degrees and the final application
     stay distributed (the edge table is never collected)."""
     ids = [r.entity_id for r in emb_rows]
     embs = (
-        np.array([r.embedding for r in emb_rows], dtype=np.float32)
-        if ids else np.zeros((0, 1), np.float32)
+        np.array([r.embedding for r in emb_rows], dtype=np.float64)
+        if ids else np.zeros((0, 1), np.float64)
     )
     pairs = pairs_all(ids, embs, cutoff=cutoff, topk=topk)
     wcc = wcc_of(ids, [(a, b) for a, b, _ in pairs])
-    mm = merge_map_of(wcc, max_edit_distance=max_edit_distance)
+    mm = merge_map_of(wcc, max_edit_distance=max_edit_distance, adjudicator=adjudicator)
 
     map_schema = "entity_id string, canonical_id string"
     mm_df = spark.createDataFrame(sorted(mm.items()), map_schema)
@@ -450,7 +514,7 @@ def _canonicalize_driver(
     )
     degrees = {r.entity_id: r.degree for r in degree_table(edges_m).collect()}
 
-    dmap = disambig_map_of(wcc, mm, degrees)
+    dmap = disambig_map_of(wcc, mm, degrees, resolver=resolver)
     combined = compose_maps(mm, dmap)
     combined_df = spark.createDataFrame(sorted(combined.items()), map_schema)
     nodes2, edges2, mentions2 = apply_canonical_map(nodes, edges, mentions, combined_df)
@@ -463,4 +527,5 @@ def _canonicalize_driver(
         wcc=spark.createDataFrame(sorted(wcc.items()), "entity_id string, component string"),
         merge_map=mm_df,
         disambig_map=spark.createDataFrame(sorted(dmap.items()), map_schema),
+        canonical_map=combined_df,
     )

@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from graph_rag_agent_spark.config import (
+    COMMUNITY_DRIVER_THRESHOLD,
+    COMMUNITY_GAMMA,
     COMMUNITY_MAX_ITER,
     COMMUNITY_MAX_LEVELS,
     COMMUNITY_TOP_SUMMARIES,
@@ -124,11 +126,39 @@ def detect_communities(
     edges: DataFrame,
     max_levels: int = COMMUNITY_MAX_LEVELS,
     max_iter: int = COMMUNITY_MAX_ITER,
+    method: str = "auto",
+    gamma: float = COMMUNITY_GAMMA,
+    driver_threshold_edges: int = COMMUNITY_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """→ (entity_id, communities array<bigint>) — per-entity community id at
-    each level 0..L (reference leiden.py writeProperty='communities')."""
+    each level 0..L (reference leiden.py writeProperty='communities').
+
+    SIZE-ADAPTIVE like the reference (gds.leiden runs inside the Neo4j JVM —
+    single-machine): projected graphs ≤ `driver_threshold_edges` run the
+    exact deterministic Leiden kernel (modularity local-move + constrained
+    refinement + aggregation, functions/leiden_kernel.py) on the driver;
+    larger graphs use the distributed weighted-LPA + contraction loop
+    (`method='lpa'` forces it; 'leiden' forces the kernel)."""
     verts = nodes.select(F.col("entity_id").alias("id"))
     wedges = weighted_projection(edges).localCheckpoint(eager=True)
+
+    if method != "lpa":
+        sample = wedges.take(driver_threshold_edges + 1)
+        if method == "leiden" or len(sample) <= driver_threshold_edges:
+            from graph_rag_agent_spark.functions.leiden_kernel import leiden_levels
+
+            edge_list = [(r.s, r.d, float(r.weight)) for r in sample]
+            node_ids = [r.id for r in verts.collect()]
+            levels = leiden_levels(
+                node_ids, edge_list, gamma=gamma,
+                max_levels=max_levels, max_sweeps=max_iter,
+            )
+            rows = [
+                (v, [int(lv[v]) for lv in levels]) for v in sorted(node_ids)
+            ]
+            return nodes.sparkSession.createDataFrame(
+                rows, "entity_id string, communities array<bigint>"
+            )
 
     per_level: List[DataFrame] = []
     cur_labels = None
@@ -249,6 +279,32 @@ def community_membership(entity_communities: DataFrame) -> DataFrame:
     )
 
 
+def community_hierarchy(entity_communities: DataFrame) -> DataFrame:
+    """G5: the inter-level containment edge table the reference materializes
+    as (:__Community__ level i)-[:IN_COMMUNITY]->(:__Community__ level i+1)
+    (reference leiden.py:102-139): → (level, child_community_id,
+    parent_community_id), one row per distinct child→parent containment,
+    community ids in the '{level}-{cid}' format of community_membership."""
+    exploded = entity_communities.select(
+        "entity_id", F.posexplode("communities").alias("level", "cid")
+    )
+    child = exploded.select(
+        "entity_id",
+        F.col("level").cast("int").alias("level"),
+        F.concat_ws("-", "level", "cid").alias("child_community_id"),
+    )
+    parent = exploded.select(
+        "entity_id",
+        (F.col("level").cast("int") - 1).alias("level"),
+        F.concat_ws("-", "level", "cid").alias("parent_community_id"),
+    )
+    return (
+        child.join(parent, on=["entity_id", "level"])
+        .select("level", "child_community_id", "parent_community_id")
+        .dropDuplicates()
+    )
+
+
 def community_rank(membership: DataFrame, mentions: DataFrame) -> DataFrame:
     """G6: rank = count(DISTINCT mentioning chunk) over member entities."""
     return (
@@ -267,12 +323,15 @@ def summarize_communities(
     rank: DataFrame,
     top_n: int = COMMUNITY_TOP_SUMMARIES,
     level: int = 0,
+    summarizer=None,
 ) -> DataFrame:
-    """G7-G10: top-N level-0 communities by rank → template summaries.
+    """G7-G10: top-N level-0 communities by rank → summaries.
 
     → community_summaries(community_id, level, rank, summary, full_content).
-    The summarizer is a deterministic template (pluggable LLM slot in prod,
-    reference summary/base.py:174-281); info stringification mirrors
+    `summarizer` is the G9 LLM slot (reference summary/base.py:174-281 —
+    one model call per community over the stringified info): a callable
+    full_content → summary, run Arrow-batched via mapInPandas. None = the
+    deterministic template. Info stringification mirrors
     'Nodes are: ... Relationships are: ...' (summary/base.py:16-46).
     """
     top = (
@@ -326,10 +385,24 @@ def summarize_communities(
         F.size("edge_descs").cast("string"),
         F.lit(" relationships."),
     )
-    return info.select(
+    out = info.select(
         "community_id",
         F.lit(level).alias("level"),
         F.col("rank").cast("bigint").alias("rank"),
         summary.alias("summary"),
         full_content.alias("full_content"),
+    )
+    if summarizer is None:
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["summary"] = [summarizer(fc) for fc in pdf["full_content"]]
+            yield pdf
+
+    return out.mapInPandas(
+        run,
+        schema="community_id string, level int, rank bigint, "
+               "summary string, full_content string",
     )

@@ -35,6 +35,118 @@ def _default_decode(kind: str, payload: bytes) -> np.ndarray:
     )
 
 
+# ---------------------------------------------------------------------------
+# real decoders — pure-Python parsers for container formats that need no
+# codec library: PPM (P6), BMP (uncompressed 24-bit BI_RGB), WAV (16-bit
+# PCM). These make one end-to-end decode path non-fake; formats that DO
+# need codecs (jpeg/mp4/...) remain behind the injectable decode_fn.
+# ---------------------------------------------------------------------------
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 array (height, width, 3)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → uint8 array (height, width, 3),
+    top-down row order, RGB channel order."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    flip = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = []
+    for r in range(h):
+        off = data_offset + r * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """16-bit PCM WAV → (sample_rate, float32 samples in [-1, 1], channels)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, samples = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = int.from_bytes(body[0:2], "little")
+            if fmt != 1:
+                raise ValueError("only PCM supported")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+        pos += 8 + size + (size & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples, channels
+
+
+def real_decode(kind: str, payload: bytes) -> np.ndarray:
+    """Format-dispatching decode → 18-dim feature vector: images (ppm/bmp)
+    yield a 16-bin luminance histogram (L1) + normalized (width, height);
+    audio (wav) yields a 16-bin amplitude histogram + (rms, duration_s)."""
+    if not payload:
+        return np.zeros(18, dtype=np.float32)
+    if payload[:2] == b"P6":
+        img = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:4] == b"RIFF":
+        rate, samples, _ = decode_wav(payload)
+        hist = np.histogram(samples, bins=16, range=(-1.0, 1.0))[0].astype(np.float32)
+        hist /= max(hist.sum(), 1.0)
+        rms = float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0
+        dur = samples.size / rate if rate else 0.0
+        return np.concatenate([hist, np.float32([rms, dur])])
+    else:
+        raise ValueError(f"no pure-python decoder for {kind} payload")
+    lum = (
+        0.299 * img[..., 0].astype(np.float32)
+        + 0.587 * img[..., 1].astype(np.float32)
+        + 0.114 * img[..., 2].astype(np.float32)
+    )
+    hist = np.histogram(lum, bins=16, range=(0.0, 256.0))[0].astype(np.float32)
+    hist /= max(hist.sum(), 1.0)
+    h, w = img.shape[:2]
+    return np.concatenate([hist, np.float32([w / 1000.0, h / 1000.0])])
+
+
 def byte_histogram_decode(kind: str, payload: bytes) -> np.ndarray:
     """Deterministic fake decoder used in tests: 16-bin byte histogram,
     L1-normalized — exercises the exact batch/shape contract of a real

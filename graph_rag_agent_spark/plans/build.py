@@ -29,6 +29,7 @@ from graph_rag_agent_spark.config import PipelineConfig
 from graph_rag_agent_spark.operators.canonicalize import canonicalize
 from graph_rag_agent_spark.operators.chunker import chunk_documents
 from graph_rag_agent_spark.operators.communities import (
+    community_hierarchy,
     community_membership,
     community_rank,
     detect_communities,
@@ -60,7 +61,10 @@ def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     chunks = chunk_documents(corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length)
     results = extract_chunks(chunks, extractor=extractor).localCheckpoint(eager=True)
     occurrences = parse_occurrences(results)
-    edges = parse_relationships(results)
+    # edges checkpoint: canonicalize's degree aggregation and the final map
+    # application each act on edges — without a barrier every one of those
+    # actions re-runs the parse of all raw results
+    edges = parse_relationships(results).localCheckpoint(eager=True)
     nodes = derive_nodes(occurrences).localCheckpoint(eager=True)
     mentions = derive_mentions(occurrences)
     embeddings = embed_entities(nodes, dim=cfg.embedding_dim).localCheckpoint(eager=True)
@@ -201,6 +205,9 @@ class BuildPipeline:
         t0 = time.time()
         membership = community_membership(entity_comms)
         membership = self._save(membership, "communities", "communities_membership", t0)
+        t0 = time.time()
+        hierarchy = community_hierarchy(entity_comms)
+        self._save(hierarchy, "community_hierarchy", "communities_hierarchy", t0)
         t0 = time.time()
         rank = community_rank(membership, mentions)
         summaries = summarize_communities(membership, nodes, edges, rank)

@@ -80,6 +80,92 @@ def test_overlapping_label_propagation(spark):
     assert by_node["x"] & (dominant_a | dominant_b)
 
 
+def _ring_of_cliques(n_cliques=4, size=5):
+    """Ring of cliques — the fixture where label propagation degrades
+    (label epidemics across bridges) but Leiden's modularity local-move
+    recovers the cliques exactly."""
+    from itertools import combinations
+
+    rows, nodes = [], []
+    for c in range(n_cliques):
+        ids = [f"c{c}n{i}" for i in range(size)]
+        nodes += ids
+        rows += list(combinations(ids, 2))
+    for c in range(n_cliques):
+        rows.append((f"c{c}n0", f"c{(c + 1) % n_cliques}n1"))
+    return nodes, rows
+
+
+def test_leiden_recovers_ring_of_cliques(spark):
+    nodes_l, rows = _ring_of_cliques()
+    edges = _edges(spark, rows)
+    nodes = spark.createDataFrame(
+        [(v, "class", v) for v in nodes_l],
+        "entity_id string, entity_type string, description string",
+    )
+    ec = detect_communities(nodes, edges, max_levels=2, method="leiden")
+    lvl0 = {r.entity_id: r.communities[0] for r in ec.collect()}
+    # each clique is one community, all four distinct
+    for c in range(4):
+        ids = [f"c{c}n{i}" for i in range(5)]
+        assert len({lvl0[v] for v in ids}) == 1
+    assert len({lvl0[f"c{c}n0"] for c in range(4)}) == 4
+
+
+def test_leiden_modularity_not_below_lpa(spark):
+    from graph_rag_agent_spark.functions.leiden_kernel import leiden_levels, modularity
+
+    nodes_l, rows = _ring_of_cliques(n_cliques=6, size=4)
+    edges = _edges(spark, rows)
+    nodes = spark.createDataFrame(
+        [(v, "class", v) for v in nodes_l],
+        "entity_id string, entity_type string, description string",
+    )
+    wp = weighted_projection(edges)
+    edge_list = [(r.s, r.d, float(r.weight)) for r in wp.collect()]
+
+    leiden_l0 = leiden_levels(nodes_l, edge_list, max_levels=1)[0]
+    verts = spark.createDataFrame([(v,) for v in nodes_l], "id string")
+    lpa = {r.id: r.label for r in label_propagation(verts, wp).collect()}
+    label_ids = {l: i for i, l in enumerate(sorted(set(lpa.values())))}
+    lpa_dense = {v: label_ids[l] for v, l in lpa.items()}
+    q_leiden = modularity(edge_list, leiden_l0)
+    q_lpa = modularity(edge_list, lpa_dense)
+    assert q_leiden >= q_lpa - 1e-9
+
+
+def test_leiden_matches_distributed_lpa_interface(spark):
+    """Both methods emit the same schema and a full per-entity level array;
+    singleton/isolated entities are still assigned."""
+    rows = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+    edges = _edges(spark, rows)
+    nodes = spark.createDataFrame(
+        [(v, "class", v) for v in ["a1", "a2", "a3", "lonely"]],
+        "entity_id string, entity_type string, description string",
+    )
+    for method in ("leiden", "lpa"):
+        ec = detect_communities(nodes, edges, max_levels=2, method=method)
+        got = {r.entity_id: list(r.communities) for r in ec.collect()}
+        assert set(got) == {"a1", "a2", "a3", "lonely"}
+        assert all(len(v) == 2 for v in got.values())
+        assert got["a1"][0] == got["a2"][0] == got["a3"][0]
+        assert got["lonely"][0] != got["a1"][0]
+
+
+def test_community_hierarchy_edges(spark):
+    from graph_rag_agent_spark.operators.communities import community_hierarchy
+
+    ec = spark.createDataFrame(
+        [("a", [0, 0]), ("b", [0, 0]), ("c", [1, 0]), ("d", [2, 1])],
+        "entity_id string, communities array<bigint>",
+    )
+    got = {
+        (r.level, r.child_community_id, r.parent_community_id)
+        for r in community_hierarchy(ec).collect()
+    }
+    assert got == {(0, "0-0", "1-0"), (0, "0-1", "1-0"), (0, "0-2", "1-1")}
+
+
 def test_detect_and_summarize(spark):
     rows = [("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
             ("b1", "b2"), ("b2", "b3"), ("b1", "b3")]

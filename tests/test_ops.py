@@ -56,10 +56,38 @@ def test_jaccard_pairs(spark, docs):
 def test_simhash(spark, docs):
     sigs = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
     assert sigs["1"] == sigs["2"]  # identical text → identical signature
+    # near-dup recall needs texts long enough that a 1-word edit moves only
+    # a few bits (9-word docs flip ~12/64 bits — below any useful band)
+    base = " ".join(f"word{i}" for i in range(40))
+    long_docs = spark.createDataFrame(
+        [
+            (1, base, "en"),
+            (2, base, "en"),
+            (3, base.replace("word7", "weird7"), "en"),
+            (4, " ".join(f"other{i}" for i in range(40)), "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
     near = {(r.doc_a, r.doc_b) for r in
-            simhash_near_duplicates(docs, max_hamming=10).collect()}
+            simhash_near_duplicates(long_docs, max_hamming=10).collect()}
     assert ("1", "2") in near and ("1", "3") in near
     assert ("1", "4") not in near
+
+    # python-oracle parity of the signature itself (md5 nibble votes)
+    import hashlib
+
+    def py_simhash(text):
+        votes = [0] * 64
+        for w in sorted(set(text.lower().split())):
+            val = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                votes[b] += 1 if (val >> b) & 1 else -1
+        out = sum((1 << b) for b in range(64) if votes[b] > 0)
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    rows = {r.id: r.simhash for r in simhash_signatures(long_docs).collect()}
+    assert rows["1"] == py_simhash(base)
+    assert rows["3"] == py_simhash(base.replace("word7", "weird7"))
 
 
 def test_minhash_lsh(spark, docs):
@@ -133,3 +161,90 @@ def test_multimodal_plumbing(spark):
     assert stats["video"].total_bytes == 8
     frames = sample_frames(media, every_ms=1000, decode_fn=byte_histogram_decode).collect()
     assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+def _ppm_bytes(w, h, pixels):
+    return b"P6\n%d %d\n255\n" % (w, h) + bytes(pixels)
+
+
+def _bmp_bytes(w, h, rows_rgb):
+    # uncompressed 24-bit bottom-up BMP
+    stride = (w * 3 + 3) & ~3
+    pix = b""
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = b"".join(bytes([b, g, r]) for r, g, b in row)
+        pix += line + b"\x00" * (stride - len(line))
+    header_size, data_offset = 40, 54
+    size = data_offset + len(pix)
+    return (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + data_offset.to_bytes(4, "little")
+        + header_size.to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16 + pix
+    )
+
+
+def _wav_bytes(rate, samples):
+    data = b"".join(int(s * 32767).to_bytes(2, "little", signed=True) for s in samples)
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + (rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_real_decoders_roundtrip():
+    from graph_rag_agent_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        real_decode,
+    )
+
+    # 2×2 PPM: exact pixel recovery
+    pixels = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    img = decode_ppm(_ppm_bytes(2, 2, pixels))
+    assert img.shape == (2, 2, 3)
+    assert img.reshape(-1).tolist() == pixels
+
+    # 2×2 BMP: same image through the BMP container (padding + BGR + flip)
+    rows = [[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (10, 20, 30)]]
+    img2 = decode_bmp(_bmp_bytes(2, 2, rows))
+    assert img2.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [10, 20, 30]]]
+
+    # WAV: rate + samples recovered
+    rate, samples, ch = decode_wav(_wav_bytes(8000, [0.0, 0.5, -0.5, 1.0]))
+    assert rate == 8000 and ch == 1 and len(samples) == 4
+    assert abs(samples[1] - 0.5) < 1e-3
+
+    # dispatch: image features = 16-bin luminance hist + dims
+    feat = real_decode("image", _ppm_bytes(2, 2, pixels))
+    assert len(feat) == 18 and abs(float(feat[:16].sum()) - 1.0) < 1e-6
+    afeat = real_decode("audio", _wav_bytes(8000, [0.0, 0.5, -0.5, 1.0]))
+    assert len(afeat) == 18 and afeat[17] == pytest.approx(4 / 8000)
+
+
+def test_extract_features_with_real_decoder(spark):
+    from graph_rag_agent_spark.operators.multimodal import real_decode
+
+    rows = [
+        ("img1", "image", bytearray(_ppm_bytes(2, 2, [255, 0, 0] * 4)),
+         {"width": 2, "height": 2, "duration_ms": None, "codec": "ppm"}),
+        ("aud1", "audio", bytearray(_wav_bytes(8000, [0.25] * 16)),
+         {"width": None, "height": None, "duration_ms": 2, "codec": "pcm16"}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+    )
+    feats = {r.media_id: r for r in extract_features(media, real_decode).collect()}
+    assert len(feats["img1"].feature) == 18
+    assert feats["img1"].feature[17] == pytest.approx(0.002)  # height 2/1000
+    assert feats["aud1"].feature[17] == pytest.approx(16 / 8000)  # duration
