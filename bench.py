@@ -56,7 +56,18 @@ def main():
     qs = entry_mod.queries()
     total_t0 = time.time()
 
-    # north-star workload: synthetic source-code corpus → canonical triples
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # north-star workload LAST: the synthetic KG build saturates every core
+    # for tens of seconds, and this host throttles for ~60s after an
+    # all-core burn (measured — see BENCH.md); running it first poisons the
+    # small queries' timings with the hangover
     t0 = time.time()
     corpus = generate_corpus(spark, SYNTH_DOCS).localCheckpoint(eager=True)
     corpus_build_s = time.time() - t0
@@ -68,14 +79,6 @@ def main():
     kg_s = time.time() - t0
     timings["kg_build_synthetic"] = round(kg_s, 3)
     triples_per_sec = round(n_triples / kg_s, 2) if kg_s > 0 else 0.0
-
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        _ = n
 
     total = round(time.time() - total_t0 - corpus_build_s, 3)
     print(

@@ -138,6 +138,131 @@ def _topk_rows(
     return rows
 
 
+def _kmeans_centroids(
+    mat: np.ndarray, n_lists: int, seed: int = 42, iters: int = 10
+) -> np.ndarray:
+    """Deterministic k-means (k-means++ init from a fixed seed) on the
+    driver sample — the IVF coarse quantizer."""
+    rng = np.random.RandomState(seed)
+    n = len(mat)
+    k = min(n_lists, n)
+    centroids = np.empty((k, mat.shape[1]), dtype=np.float64)
+    centroids[0] = mat[rng.randint(n)]
+    d2 = np.full(n, np.inf)
+    for i in range(1, k):
+        d2 = np.minimum(d2, ((mat - centroids[i - 1]) ** 2).sum(axis=1))
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        centroids[i] = mat[rng.choice(n, p=probs)]
+    for _ in range(iters):
+        dists = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = dists.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k: a deterministic k-means coarse quantizer
+    (trained on the first `train_sample` rows by id — reproducible) assigns
+    every vector to its nearest centroid list; the query scans only the
+    `n_probe` nearest lists and re-ranks exactly. At scale the assignment
+    is one map pass and the probe prunes (n_lists - n_probe)/n_lists of the
+    corpus before any exact distance is computed."""
+    base = embeddings.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    sample = base.orderBy("vec_id").limit(train_sample).collect()
+    mat = np.array([r.emb for r in sample], dtype=np.float64)
+    centroids = _kmeans_centroids(mat, n_lists, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    probe_lists = np.argsort(((centroids - qv) ** 2).sum(axis=1))[:n_probe].tolist()
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]]) \
+                if len(pdf) else np.zeros((0, centroids.shape[1]))
+            lists = (
+                ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+                if len(pdf) else np.array([], dtype=int)
+            )
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "list_id": lists.astype("int32")})
+
+    assigned = base.mapInPandas(assign, schema="vec_id string, list_id int")
+    cands = assigned.filter(F.col("list_id").isin(probe_lists)).select("vec_id")
+    scored = cands.join(base, on="vec_id").select(
+        "vec_id",
+        cosine_col(F.col("emb"), F.array(*[F.lit(float(x)) for x in query_vec])).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
+
+
+def cosine_pairs_blocked(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: all (a < b) with
+    cosine ≥ threshold, via a hash-block pair join + per-task matmul —
+    the distributed exact primitive (O(n²/B²) tasks, each bounded to two
+    sub-blocks of memory). For web scale, prefilter candidates with
+    hyperplane LSH (lsh_topk's bucketing) and verify with this threshold.
+    → (id_a, id_b, score)."""
+    base = embeddings.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    ).withColumn("blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int"))
+    grouped = base.groupBy("blk").agg(
+        F.collect_list(F.struct("vec_id", "emb")).alias("items")
+    )
+    a, b = grouped.alias("a"), grouped.alias("b")
+    paired = a.join(b, on=F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"),
+        F.col("a.items").alias("items_a"), F.col("b.items").alias("items_b"),
+    )
+
+    def pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[tuple] = []
+            for blk_a, blk_b, items_a, items_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
+            ):
+                ids_a = np.array([r["vec_id"] for r in items_a])
+                ids_b = np.array([r["vec_id"] for r in items_b])
+                mat_a = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in items_a])
+                mat_b = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in items_b])
+                for m in (mat_a, mat_b):
+                    norms = np.linalg.norm(m, axis=1, keepdims=True)
+                    norms[norms == 0] = 1
+                    m /= norms
+                sims = mat_a @ mat_b.T
+                ii, jj = np.where(sims >= threshold)
+                for i, j in zip(ii, jj):
+                    x, y = ids_a[i], ids_b[j]
+                    # same-block pairs appear twice (i,j)/(j,i) and cross-
+                    # block pairs once per ordered block pair — keep the
+                    # canonical (min, max) ordering exactly once
+                    if blk_a < blk_b or (blk_a == blk_b and x < y):
+                        out.append((min(x, y), max(x, y), float(sims[i, j])))
+            yield pd.DataFrame(out, columns=["id_a", "id_b", "score"])
+
+    return paired.mapInPandas(pairs, schema="id_a string, id_b string, score double")
+
+
 def pairwise_topk_per_label(
     embeddings: DataFrame,
     k: int = 5,

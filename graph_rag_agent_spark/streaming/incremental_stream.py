@@ -63,3 +63,45 @@ def windowed_event_counts(
         F.col("w.end").alias("window_end"),
         "event_type", "n_events", "total_value",
     )
+
+
+def streaming_first_seen(
+    stream: DataFrame,
+    key_col: str = "chunk_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): emits
+    each key the FIRST time it appears across micro-batches — the streaming
+    form of the extraction-cache dedup (a chunk already extracted in any
+    earlier batch is never re-extracted). State per key group = the set of
+    keys already seen.
+
+    → (key string, first_batch_rows int): the row count of the batch that
+    first delivered the key (diagnostic; consumers typically join back on
+    key). Works only on streaming frames."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    # group by a hash bucket of the key so state shards evenly at scale
+    bucketed = stream.withColumn(
+        "_bucket", F.pmod(F.xxhash64(key_col), F.lit(64)).cast("int")
+    )
+
+    def dedup_group(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        out_keys = []
+        for pdf in pdfs:
+            for k in pdf[key_col]:
+                if k not in seen:
+                    seen.add(k)
+                    out_keys.append(k)
+        state.update((list(seen),))
+        yield pd.DataFrame({"key": out_keys, "first_batch_rows": [len(out_keys)] * len(out_keys)})
+
+    return bucketed.groupBy("_bucket").applyInPandasWithState(
+        dedup_group,
+        outputStructType="key string, first_batch_rows int",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -248,3 +248,34 @@ def test_extract_features_with_real_decoder(spark):
     assert len(feats["img1"].feature) == 18
     assert feats["img1"].feature[17] == pytest.approx(0.002)  # height 2/1000
     assert feats["aud1"].feature[17] == pytest.approx(16 / 8000)  # duration
+
+
+def test_ivf_topk_recall(spark, vectors):
+    from graph_rag_agent_spark.operators.similarity import ivf_topk
+
+    rows, df = vectors
+    q = rows[0][1]
+    exact = [r.vec_id for r in brute_force_topk(df, q, k=5).collect()]
+    approx = [int(r.vec_id) for r in ivf_topk(df, q, k=5, n_lists=4, n_probe=2).collect()]
+    assert 0 in approx  # the query vector itself is found
+    assert len(set(exact) & set(approx)) >= 3
+    # determinism: same call → same result
+    approx2 = [int(r.vec_id) for r in ivf_topk(df, q, k=5, n_lists=4, n_probe=2).collect()]
+    assert approx == approx2
+
+
+def test_cosine_pairs_blocked_exact(spark, vectors):
+    from graph_rag_agent_spark.operators.similarity import cosine_pairs_blocked
+
+    rows, df = vectors
+    # the operator canonicalizes pairs by STRING id order — normalize
+    got = {tuple(sorted((int(r.id_a), int(r.id_b)))): r.score
+           for r in cosine_pairs_blocked(df, threshold=0.5, n_blocks=3).collect()}
+    mats = np.array([r[1] for r in rows], dtype=np.float64)
+    mats /= np.linalg.norm(mats, axis=1, keepdims=True)
+    sims = mats @ mats.T
+    expect = {(i, j): sims[i, j] for i in range(50) for j in range(i + 1, 50)
+              if sims[i, j] >= 0.5}
+    assert set(got) == set(expect)
+    for k2, v in expect.items():
+        assert abs(got[k2] - v) < 1e-9

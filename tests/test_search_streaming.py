@@ -122,3 +122,41 @@ def test_windowed_event_counts_streaming(spark):
         static_total = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
         got = spark.sql("SELECT sum(n_events) AS n FROM winout").collect()[0].n
         assert got == static_total
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a key emitted in an earlier micro-batch is
+    suppressed in later ones (state survives via the checkpoint)."""
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        streaming_first_seen,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [("a",), ("b",), ("a",)], "chunk_id string"
+    ).write.mode("append").parquet(src)
+
+    def run_once():
+        # foreachBatch sink (the memory sink cannot recover a checkpoint)
+        emitted = []
+
+        def on_batch(batch_df, epoch_id):
+            emitted.extend(r.key for r in batch_df.collect())
+
+        stream = spark.readStream.schema("chunk_id string").parquet(src)
+        q = (
+            streaming_first_seen(stream)
+            .writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        return set(emitted)
+
+    assert run_once() == {"a", "b"}
+    spark.createDataFrame(
+        [("b",), ("c",)], "chunk_id string"
+    ).write.mode("append").parquet(src)
+    assert run_once() == {"c"}  # b already seen in batch 1

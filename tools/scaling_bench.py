@@ -13,6 +13,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -66,7 +67,16 @@ def run_once(master: str, path: str) -> tuple[float, int]:
     # pin the whole session (JVM + python workers) to exactly N CPUs —
     # local[8] on a 32-core host otherwise gives the JVM 24 free cores for
     # Arrow/shuffle/GC and inflates the N baseline; a cluster of N cores
-    # has no such spare capacity
+    # has no such spare capacity.
+    # cooldown first: an all-core run thermally throttles this host for the
+    # next ~60s (measured: an identical stage runs 63s right after a 32-core
+    # burn, 14.6s after 75s idle, 2.4s steady-state — tools/host_ceiling.py
+    # + BENCH.md). Cluster executors do not share a heatsink; without the
+    # cooldown each run inherits the PREVIOUS run's throttle state, which
+    # systematically punishes whichever level runs second.
+    import time as _time
+
+    _time.sleep(int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "60")))
     n = int(master[master.find("[") + 1 : master.find("]")])
     pin = ["taskset", "-c", f"0-{n - 1}"]
     out = subprocess.run(
