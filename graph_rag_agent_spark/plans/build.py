@@ -13,8 +13,8 @@ extraction stage is always incremental via the extraction_cache anti-join.
 Tables written (SURVEY.md §1.4):
   corpus, chunks, extraction_cache, nodes_raw, edges_raw, mentions_raw,
   entity_embeddings, similar, wcc, nodes, edges, mentions,
-  entity_communities, communities, community_summaries, registry,
-  build_metrics
+  entity_communities, communities, community_hierarchy,
+  community_summaries, registry, build_metrics
 """
 
 from __future__ import annotations
