@@ -373,6 +373,19 @@ def _q_knn_per_label(spark, sf_dir):
     )
 
 
+def _q_windowed_event_counts(spark, sf_dir):
+    """N9/streaming rollup shape: the SAME windowed-aggregation function the
+    streaming path uses (streaming/incremental_stream.windowed_event_counts)
+    evaluated on the static events table — tumbling 5-minute windows,
+    epoch-aligned like Structured Streaming's F.window."""
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        windowed_event_counts,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(events, window="5 minutes")
+
+
 def _q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact, distributed block-pair
     matmul; the web-scale path prefilters with hyperplane LSH — see
@@ -481,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "knn_per_label": _q_knn_per_label,
         "embedding_near_dups": _q_embedding_near_dups,
+        "windowed_event_counts": _q_windowed_event_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "language_id": _q_langid,
@@ -891,6 +905,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
             LIMIT 10""",
+        "windowed_event_counts": """
+            SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+                       AS window_start,
+                   CAST(to_timestamp(floor(epoch(ts) / 300) * 300 + 300) AS TIMESTAMP)
+                       AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events
+            GROUP BY 1, 2, event_type""",
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

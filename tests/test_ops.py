@@ -279,3 +279,14 @@ def test_cosine_pairs_blocked_exact(spark, vectors):
     assert set(got) == set(expect)
     for k2, v in expect.items():
         assert abs(got[k2] - v) < 1e-9
+
+
+def test_pairwise_topk_blocked_matches_per_label(spark, vectors):
+    from graph_rag_agent_spark.operators.similarity import pairwise_topk_blocked
+
+    rows, df = vectors
+    per_label = {(r.vec_id, r.neighbor_id): round(r.score, 9)
+                 for r in pairwise_topk_per_label(df, k=3).collect()}
+    blocked = {(r.vec_id, r.neighbor_id): round(r.score, 9)
+               for r in pairwise_topk_blocked(df, k=3, n_blocks=4).collect()}
+    assert per_label == blocked
