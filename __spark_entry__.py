@@ -550,7 +550,11 @@ _PAIRS_CTE = _WORDS_CTE + """
 # bytes of sha256 → bucket h%64, sign bit 63 (functions/embedder.py).
 # MATERIALIZED keeps DuckDB from re-inlining the shared sub-chains
 # exponentially. Entity names here are ascii (lowered identifiers), so the
-# normalizer's CJK range never matches and [^0-9a-z] suffices.
+# normalizer's CJK range never matches and [^0-9a-z] suffices. The SQL twin
+# models blocks at the base 4-char prefix; the Spark kernel's LOCAL re-split
+# of blocks larger than BLOCK_SALT_THRESHOLD (2000) never triggers at the
+# correctness-gate scales (max block size ≈ vocabulary/prefix ≪ 2000), so
+# the two contracts coincide exactly where they are compared.
 # ---------------------------------------------------------------------------
 def _canon_body(table: str = "documents") -> str:
     return _words_body(table) + """
