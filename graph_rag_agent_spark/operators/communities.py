@@ -144,11 +144,28 @@ def detect_communities(
 
     if method != "lpa":
         sample = wedges.take(driver_threshold_edges + 1)
-        if method == "leiden" or len(sample) <= driver_threshold_edges:
+        # the vertex set must fit the driver too — a graph can have few
+        # edges but a huge isolated-node population
+        node_sample = verts.take(driver_threshold_edges + 1)
+        fits = (
+            len(sample) <= driver_threshold_edges
+            and len(node_sample) <= driver_threshold_edges
+        )
+        if method == "leiden" or fits:
             from graph_rag_agent_spark.functions.leiden_kernel import leiden_levels
 
-            edge_list = [(r.s, r.d, float(r.weight)) for r in sample]
-            node_ids = [r.id for r in verts.collect()]
+            # method='leiden' forces the kernel even above the threshold —
+            # fetch the full sets in that case (take() above is bounded)
+            edge_list = (
+                [(r.s, r.d, float(r.weight)) for r in sample]
+                if fits
+                else [(r.s, r.d, float(r.weight)) for r in wedges.collect()]
+            )
+            node_ids = (
+                [r.id for r in node_sample]
+                if fits
+                else [r.id for r in verts.collect()]
+            )
             levels = leiden_levels(
                 node_ids, edge_list, gamma=gamma,
                 max_levels=max_levels, max_sweeps=max_iter,
