@@ -52,13 +52,32 @@ from graph_rag_agent_spark.functions.wire_format import (
 # full reference regex) is done with split() string ops: per-field
 # regexp_extract measured ~40× slower than the whole-stage-codegen'd split
 # on a 30k-doc corpus (lazy-quantifier backtracking per field per row).
-# Equivalent for any record the discovery regex accepted, because the lazy
-# groups stop at the first `" : "` — exactly where split() cuts.
+#
+# Exact equivalence with the lazy regex, including descriptions that CONTAIN
+# the tuple delimiter (an LLM extractor can emit `" : "` inside free text):
+# the discovery regex bounds the record at the first viable terminator, and
+# its lazy leading groups cut at the EARLIEST full `" : "` occurrences —
+# the same cut points split() produces — so the leading fields are always
+# parts 2..k, and the description is the REJOIN of every remaining part
+# (slice + array_join restores any delimiter the description contained).
+# The relationship tail additionally splits desc from weight at the first
+# `" : ` (no trailing quote — the regex's `" : (.+?)\)` boundary), so a
+# delimiter-bearing description yields the same unparseable-weight →
+# row-dropped outcome as the reference's float() try/except.
 _FIELD_SEP = '" : "'
 
 
 def _fields(rec) -> F.Column:
     return F.split(rec, F.lit(_FIELD_SEP), -1)
+
+
+def _rejoin_from(parts: F.Column, start: int) -> F.Column:
+    """Re-join parts[start..] with the field separator — reconstructs the
+    raw text after the (start-1)-th delimiter even when the description
+    itself contains `" : "`."""
+    return F.array_join(
+        F.slice(parts, F.lit(start), F.size(parts) - (start - 1)), _FIELD_SEP
+    )
 
 
 def parse_entities(results: DataFrame) -> DataFrame:
@@ -74,7 +93,8 @@ def parse_entities(results: DataFrame) -> DataFrame:
             "chunk_id",
             F.element_at(parts, 2).alias("entity_id"),
             F.element_at(parts, 3).alias("entity_type"),
-            F.element_at(parts, 4).alias("_t"),  # 'DESC")'
+            # 'DESC")' — rejoined so a DESC containing `" : "` survives
+            _rejoin_from(parts, 4).alias("_t"),
         )
         .withColumn("description", F.expr("substring(_t, 1, length(_t) - 2)"))
         .drop("_t")
@@ -88,9 +108,13 @@ def parse_relationships(results: DataFrame) -> DataFrame:
         F.regexp_extract_all(F.col("raw_result"), F.lit(RELATIONSHIP_PATTERN), F.lit(0))
     ).alias("rec")
     parts = _fields(F.col("rec"))
-    # last split part is 'DESC" : WEIGHT)' — the weight field is unquoted
-    tail = F.split(F.element_at(parts, 5), F.lit('" : '), -1)
-    weight = F.expr("substring(_w, 1, length(_w) - 1)").cast("double")
+    # rejoined tail is 'DESC" : WEIGHT)' (DESC may itself contain `" : "`);
+    # the regex's desc/weight boundary is the FIRST `" : ` (no trailing
+    # quote) — limit=2 reproduces the lazy cut; the weight field is unquoted
+    tail = F.split(_rejoin_from(parts, 5), F.lit('" : '), 2)
+    # try_cast = the reference's float() try/except: a weight made
+    # unparseable by a delimiter-bearing description drops the row
+    weight = F.expr("try_cast(substring(_w, 1, length(_w) - 1) as double)")
     return (
         results.select("chunk_id", rec)
         .select(

@@ -129,3 +129,39 @@ def test_build_graph_tables_placeholders_and_first_wins(spark):
     assert edges.count() == 2
     m = {(r.chunk_id, r.entity_id) for r in mentions.collect()}
     assert ("c1", "Ghost") in m and ("c2", "B") in m and ("c1", "A") in m
+
+
+def test_spark_parse_matches_regex_on_delimiter_bearing_descriptions(spark):
+    """Spark split-based field extraction ≡ the reference regex twin even
+    when a description CONTAINS the tuple delimiter (an LLM extractor can
+    emit `" : "` in free text) — the round-2 advisory's divergence case."""
+    from graph_rag_agent_spark.operators import parsing as sp
+
+    raw = "\n".join([
+        emit_entity("E1", "class", 'plain description'),
+        # description containing the FULL tuple delimiter
+        emit_entity("E2", "class", 'left" : "right'),
+        # description containing the partial `" : ` (no trailing quote)
+        emit_entity("E3", "class", 'left" : 9right'),
+        emit_relationship("E1", "E2", "calls", "plain", 0.5),
+        # desc with full delimiter → regex yields unparseable weight → drop
+        emit_relationship("E1", "E3", "calls", 'a" : "b', 0.5),
+        # desc with partial delimiter → also dropped by the reference
+        emit_relationship("E2", "E3", "calls", 'a" : 9', 0.5),
+    ])
+    results = spark.createDataFrame([("c1", raw)], "chunk_id string, raw_result string")
+
+    got_ents = {
+        (r.entity_id, r.entity_type, r.description)
+        for r in sp.parse_entities(results).collect()
+    }
+    want_ents = {(e, t, d) for e, t, d in parse_entities(raw)}
+    assert got_ents == want_ents
+    assert ("E2", "class", 'left" : "right') in got_ents
+
+    got_rels = {
+        (r.subj, r.obj, r.pred, r.description, r.weight)
+        for r in sp.parse_relationships(results).collect()
+    }
+    want_rels = {(s, t, p, d, w) for s, t, p, d, w in parse_relationships(raw)}
+    assert got_rels == want_rels
