@@ -9,6 +9,15 @@ Spark mapping: one Arrow-vectorized pandas UDF over
 anti-join against the existing entity_embeddings table, not a flag column.
 The embedder is pluggable; the default is the deterministic hash-projection
 from functions/embedder.py (the oracle uses the identical function).
+
+Cache-key semantics: the incremental key ``text_sha`` hashes the EMBEDDER
+FINGERPRINT along with the text — swapping the embedder (or its dim)
+invalidates every cached row, mirroring the reference's needs_reembedding
+flag (embedding_manager.py:49-117). Failures degrade per-row to the zero
+vector AND are flagged in the ``embed_failed`` column so a wholesale
+embedder outage is observable in build_metrics (reference per-row error
+logging, entity_indexer.py:189-205) — instead of silently producing an
+all-zero table that makes canonicalization a no-op.
 """
 
 from __future__ import annotations
@@ -28,20 +37,41 @@ def embedding_text_col() -> F.Column:
     return F.concat_ws(" ", F.col("entity_id"), F.col("description"))
 
 
-def _embed_rows(texts, dim: int, embedder=None) -> list:
+def embedder_fingerprint(embedder, dim: int) -> str:
+    """Stable identity of (embedder, dim) baked into the incremental cache
+    key: a changed embedder must invalidate cached vectors. Custom embedders
+    may expose ``.version``; otherwise the qualified class/function name
+    stands in (stable across sessions, unlike id())."""
+    if embedder is None:
+        return f"hashproj-trigram-sha256-v1:d{dim}"
+    v = getattr(embedder, "version", None)
+    if v:
+        return f"{v}:d{dim}"
+    t = embedder if isinstance(embedder, type) else type(embedder)
+    if t.__module__ == "builtins" or t.__name__ == "function":
+        name = getattr(embedder, "__qualname__", repr(embedder))
+    else:
+        name = f"{t.__module__}.{t.__qualname__}"
+    return f"{name}:d{dim}"
+
+
+def _embed_rows(texts, dim: int, embedder=None) -> tuple:
     """Per-row embedding with the reference's failure semantics
     (entity_indexer.py:189-205): a row whose embed call raises degrades to
     the ZERO VECTOR and the batch continues — one poisoned row must never
-    fail the task (at 10⁹ rows a per-task failure is a pipeline outage)."""
+    fail the task (at 10⁹ rows a per-task failure is a pipeline outage).
+    → (vectors, failed_flags)."""
     fn = embedder or embed_text
-    out = []
+    out, failed = [], []
     for t in texts:
         try:
             vec = fn(t, dim)
             out.append([float(x) for x in vec])
+            failed.append(False)
         except Exception:
             out.append([0.0] * dim)
-    return out
+            failed.append(True)
+    return out, failed
 
 
 def embed_entities(
@@ -51,23 +81,28 @@ def embed_entities(
     embedder=None,
 ) -> DataFrame:
     """nodes(entity_id, description, ...) →
-    entity_embeddings(entity_id, embedding, text_sha).
+    entity_embeddings(entity_id, embedding, text_sha, embed_failed).
 
     `existing` (previous entity_embeddings table) short-circuits rows whose
-    embedded text is unchanged; a changed description re-embeds — the
-    text-hash equivalent of the reference's needs_reembedding flag
-    (embedding_manager.py:49-117). Embeddings of entities no longer in
-    `nodes` are dropped. `embedder` is the pluggable text→vector slot (an
-    OpenAI-compatible client in the reference); failures zero-vector the
-    row, not the task."""
+    embedded text AND embedder fingerprint are unchanged; a changed
+    description — or a swapped embedder — re-embeds (text_sha hashes the
+    fingerprint, so stale vectors from a different embedder are never
+    reused). Embeddings of entities no longer in `nodes` are dropped.
+    `embedder` is the pluggable text→vector slot (an OpenAI-compatible
+    client in the reference); failures zero-vector AND flag the row, not
+    the task."""
+    ver = embedder_fingerprint(embedder, dim)
     cur = nodes.select(
         "entity_id",
         embedding_text_col().alias("_text"),
-        F.sha2(embedding_text_col(), 256).alias("text_sha"),
+        F.sha2(F.concat_ws("|", F.lit(ver), embedding_text_col()), 256).alias("text_sha"),
     )
     valid = None
     if existing is not None and "text_sha" in existing.columns:
-        valid = existing.select("entity_id", "embedding", "text_sha").join(
+        prev = existing
+        if "embed_failed" not in prev.columns:
+            prev = prev.withColumn("embed_failed", F.lit(False))
+        valid = prev.select("entity_id", "embedding", "text_sha", "embed_failed").join(
             cur.select("entity_id", "text_sha"),
             on=["entity_id", "text_sha"],
             how="left_semi",
@@ -78,12 +113,13 @@ def embed_entities(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = _embed_rows(pdf["_text"].fillna(""), dim, embedder)
+            embs, failed = _embed_rows(pdf["_text"].fillna(""), dim, embedder)
             yield pd.DataFrame(
                 {
                     "entity_id": pdf["entity_id"],
                     "embedding": embs,
                     "text_sha": pdf["text_sha"],
+                    "embed_failed": failed,
                 }
             )
 
@@ -91,7 +127,9 @@ def embed_entities(
     # node shuffle to ~1 partition; embedding cost is per-row, not per-byte)
     n_part = nodes.sparkSession.sparkContext.defaultParallelism
     fresh = todo.repartition(n_part, "entity_id").mapInPandas(
-        run, schema="entity_id string, embedding array<double>, text_sha string"
+        run,
+        schema="entity_id string, embedding array<double>, text_sha string, "
+               "embed_failed boolean",
     )
     return fresh.unionByName(valid) if valid is not None else fresh
 
@@ -102,24 +140,46 @@ def embed_chunks(
     dim: int = EMBEDDING_DIM,
     embedder=None,
 ) -> DataFrame:
-    """I2: chunks(chunk_id, text) → chunk_embeddings(chunk_id, embedding).
+    """I2: chunks(chunk_id, text) →
+    chunk_embeddings(chunk_id, embedding, embed_version, embed_failed).
 
     chunk_id IS the text hash (sha1 of text, struct_builder.py:82), so the
-    incremental anti-join on chunk_id alone is already text-change-aware —
-    unlike entities, chunks never need re-embedding (reference
-    chunk_indexer.py:54-120 embeds rows with embedding IS NULL)."""
+    incremental anti-join on chunk_id alone is already text-change-aware
+    (reference chunk_indexer.py:54-120 embeds rows with embedding IS NULL);
+    the stored embed_version additionally invalidates rows produced by a
+    DIFFERENT embedder — same needs_reembedding semantics as entities."""
+    ver = embedder_fingerprint(embedder, dim)
     distinct = chunks.select("chunk_id", "text").dropDuplicates(["chunk_id"])
     if existing is not None:
+        if "embed_version" in existing.columns:
+            existing = existing.filter(F.col("embed_version") == ver)
+        else:  # legacy table without version → re-embed everything
+            existing = existing.limit(0)
+        if "embed_failed" not in existing.columns:
+            existing = existing.withColumn("embed_failed", F.lit(False))
         todo = distinct.join(existing.select("chunk_id"), on="chunk_id", how="left_anti")
     else:
         todo = distinct
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            embs = _embed_rows(pdf["text"].fillna(""), dim, embedder)
-            yield pd.DataFrame({"chunk_id": pdf["chunk_id"], "embedding": embs})
+            embs, failed = _embed_rows(pdf["text"].fillna(""), dim, embedder)
+            yield pd.DataFrame(
+                {
+                    "chunk_id": pdf["chunk_id"],
+                    "embedding": embs,
+                    "embed_version": ver,
+                    "embed_failed": failed,
+                }
+            )
 
-    fresh = todo.mapInPandas(run, schema="chunk_id string, embedding array<double>")
+    fresh = todo.mapInPandas(
+        run,
+        schema="chunk_id string, embedding array<double>, embed_version string, "
+               "embed_failed boolean",
+    )
     if existing is not None:
-        fresh = fresh.unionByName(existing.select("chunk_id", "embedding"))
+        fresh = fresh.unionByName(
+            existing.select("chunk_id", "embedding", "embed_version", "embed_failed")
+        )
     return fresh

@@ -66,23 +66,28 @@ def lsh_topk(
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float32)
     qv = np.asarray(query_vec, dtype=np.float32)
+    powers = (1 << np.arange(n_planes)).astype(np.int64)
     q_keys = [
-        f"{t}:" + "".join("1" if planes[t, p] @ qv >= 0 else "0" for p in range(n_planes))
+        f"{t}:{int(((planes[t] @ qv >= 0).astype(np.int64) * powers).sum())}"
         for t in range(n_tables)
     ]
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one (batch × planes) matmul per table — signatures for the whole
+        # Arrow batch vectorized; no per-row Python in the signature path
         for pdf in batches:
-            ids, keys = [], []
-            for vid, emb in zip(pdf["vec_id"], pdf["emb"]):
-                v = np.asarray(emb, dtype=np.float32)
-                for t in range(n_tables):
-                    sig = "".join(
-                        "1" if planes[t, p] @ v >= 0 else "0" for p in range(n_planes)
-                    )
-                    ids.append(str(vid))
-                    keys.append(f"{t}:{sig}")
-            yield pd.DataFrame({"vec_id": ids, "bucket": keys})
+            if not len(pdf):
+                yield pd.DataFrame({"vec_id": [], "bucket": []}).astype(str)
+                continue
+            mat = np.stack([np.asarray(e, dtype=np.float32) for e in pdf["emb"]])
+            ids = pdf["vec_id"].astype(str)
+            frames = []
+            for t in range(n_tables):
+                sigs = ((mat @ planes[t].T) >= 0).astype(np.int64) @ powers
+                frames.append(
+                    pd.DataFrame({"vec_id": ids, "bucket": [f"{t}:{s}" for s in sigs]})
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     base = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"))
     buckets = base.mapInPandas(bucketize, schema="vec_id string, bucket string")
@@ -145,6 +150,8 @@ def _kmeans_centroids(
     driver sample — the IVF coarse quantizer."""
     rng = np.random.RandomState(seed)
     n = len(mat)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
     k = min(n_lists, n)
     centroids = np.empty((k, mat.shape[1]), dtype=np.float64)
     centroids[0] = mat[rng.randint(n)]
@@ -174,17 +181,28 @@ def ivf_topk(
     seed: int = 42,
     train_sample: int = 4096,
 ) -> DataFrame:
-    """IVF approximate top-k: a deterministic k-means coarse quantizer
-    (trained on the first `train_sample` rows by id — reproducible) assigns
-    every vector to its nearest centroid list; the query scans only the
-    `n_probe` nearest lists and re-ranks exactly. At scale the assignment
-    is one map pass and the probe prunes (n_lists - n_probe)/n_lists of the
-    corpus before any exact distance is computed."""
+    """IVF approximate top-k: a deterministic k-means coarse quantizer —
+    trained on a seeded PSEUDO-RANDOM sample (top-`train_sample` by
+    xxhash64(seed, id): unbiased w.r.t. insertion/id order, reproducible,
+    and computed as a per-partition top-N heap, never a full sort) —
+    assigns every vector to its nearest centroid list; the query scans only
+    the `n_probe` nearest lists and re-ranks exactly. At scale the
+    assignment is one map pass and the probe prunes
+    (n_lists - n_probe)/n_lists of the corpus before any exact distance is
+    computed."""
     base = embeddings.select(
         F.col(id_col).cast("string").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
     )
-    sample = base.orderBy("vec_id").limit(train_sample).collect()
+    sample = (
+        base.orderBy(F.xxhash64(F.lit(seed), "vec_id"), "vec_id")
+        .limit(train_sample)
+        .collect()
+    )
+    if not sample:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id string, score double"
+        )
     mat = np.array([r.emb for r in sample], dtype=np.float64)
     centroids = _kmeans_centroids(mat, n_lists, seed)
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -209,19 +227,38 @@ def ivf_topk(
     return scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
 
 
+DEFAULT_BLOCK_ROWS = 4096  # ~4k × 64-dim float64 ≈ 2 MB per block payload
+
+
+def _derive_n_blocks(n_rows: int, target_block_rows: int) -> int:
+    """Block count such that a block payload holds ~target rows — per-task
+    memory stays CONSTANT as the corpus grows (a static n_blocks means
+    block payload grows linearly with n and hits Spark's ~2 GB row/Arrow
+    ceiling long before 100×). Task count grows O((n/target)²) — inherent
+    to exact all-pairs; the web-scale path prefilters with LSH first."""
+    import math
+
+    return max(1, math.ceil(max(n_rows, 1) / max(target_block_rows, 1)))
+
+
 def cosine_pairs_blocked(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_block_rows: int = DEFAULT_BLOCK_ROWS,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs: all (a < b) with
     cosine ≥ threshold, via a hash-block pair join + per-task matmul —
     the distributed exact primitive (O(n²/B²) tasks, each bounded to two
-    sub-blocks of memory). For web scale, prefilter candidates with
+    sub-blocks of memory). `n_blocks=None` (default) derives the block
+    count from a cheap count so a block payload is ~`target_block_rows`
+    regardless of corpus size. For web scale, prefilter candidates with
     hyperplane LSH (lsh_topk's bucketing) and verify with this threshold.
     → (id_a, id_b, score)."""
+    if n_blocks is None:
+        n_blocks = _derive_n_blocks(embeddings.count(), target_block_rows)
     base = embeddings.select(
         F.col(id_col).cast("string").alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("emb"),
@@ -299,17 +336,28 @@ def pairwise_topk_per_label(
 def pairwise_topk_blocked(
     embeddings: DataFrame,
     k: int = 5,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    target_block_rows: int = DEFAULT_BLOCK_ROWS,
 ) -> DataFrame:
     """Distributed exact KNN for labels too large for one task: vectors are
     hash-split into `n_blocks` sub-blocks per label; every (block_a, block_b)
     pair computes a PARTIAL per-vector top-k (vectorized matmul), and a
     global window keeps the true top-k. One shuffle to group, one block-pair
     join (each side replicated n_blocks×), one window — the standard
-    big-block exact-KNN shape; no task ever holds more than 2 sub-blocks."""
+    big-block exact-KNN shape; no task ever holds more than 2 sub-blocks.
+    `n_blocks=None` derives the block count from the LARGEST label so a
+    sub-block payload is ~`target_block_rows` rows at any corpus size."""
+    if n_blocks is None:
+        mx = (
+            embeddings.groupBy(label_col)
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
+        )
+        n_blocks = _derive_n_blocks(int(mx or 0), target_block_rows)
     base = embeddings.select(
         F.col(label_col).alias("label"),
         F.col(id_col).cast("string").alias("vec_id"),

@@ -179,6 +179,12 @@ class BuildPipeline:
             # materialize before overwriting the parquet being lazily read
             embeddings = embeddings.localCheckpoint(eager=True)
         embeddings = self._save(embeddings, "entity_embeddings", "embed", t0)
+        # embedder-outage observability: a systemically failing embedder
+        # (bad credentials, dead endpoint) zero-vectors every row; surface
+        # the per-run failure count so 'no duplicates found' is
+        # distinguishable from 'embedder down' (reference per-row logging)
+        n_embed_failed = embeddings.filter(F.col("embed_failed")).count()
+        self._metrics.append(("embed_failures", int(n_embed_failed), 0, self.run_id))
 
         t0 = time.time()
         result = canonicalize(
