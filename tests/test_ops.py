@@ -367,3 +367,28 @@ def test_embedder_version_invalidates_cache_and_flags_failures(spark):
 
     failed = embed_entities(nodes, embedder=broken).collect()[0]
     assert failed.embed_failed and set(failed.embedding) == {0.0}
+
+
+def test_simhash_fast_equals_sql_form(spark):
+    """The production one-pass numpy simhash must be bit-exact with the
+    SQL-form oracle twin (which explodes 64 rows per (doc, word) and is
+    kept only for DuckDB checkability)."""
+    from graph_rag_agent_spark.operators.dedup import (
+        simhash_signatures,
+        simhash_signatures_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, ""),
+            (4, "   "),
+            (5, "单个 中文 词语 test mixed"),
+            (6, "repeated repeated repeated words words"),
+        ],
+        "doc_id long, text string",
+    )
+    fast = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+    sql = {r.id: r.simhash for r in simhash_signatures_sql(docs).collect()}
+    assert fast == sql and len(fast) == 6
