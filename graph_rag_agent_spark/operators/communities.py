@@ -143,29 +143,23 @@ def detect_communities(
     wedges = weighted_projection(edges).localCheckpoint(eager=True)
 
     if method != "lpa":
-        sample = wedges.take(driver_threshold_edges + 1)
-        # the vertex set must fit the driver too — a graph can have few
-        # edges but a huge isolated-node population
-        node_sample = verts.take(driver_threshold_edges + 1)
+        # fit probe with CHEAP COUNTS (limit(T+1).count() scans ≤ T+1 rows
+        # and materializes nothing on the driver — the round-2 advisory:
+        # take(T+1) pulled up to ~4M Row objects of Python heap even when
+        # the graph did NOT fit); edge AND vertex set must both fit — a
+        # graph can have few edges but a huge isolated-node population
+        t = driver_threshold_edges
         fits = (
-            len(sample) <= driver_threshold_edges
-            and len(node_sample) <= driver_threshold_edges
+            wedges.limit(t + 1).count() <= t
+            and verts.limit(t + 1).count() <= t
         )
         if method == "leiden" or fits:
             from graph_rag_agent_spark.functions.leiden_kernel import leiden_levels
 
-            # method='leiden' forces the kernel even above the threshold —
-            # fetch the full sets in that case (take() above is bounded)
-            edge_list = (
-                [(r.s, r.d, float(r.weight)) for r in sample]
-                if fits
-                else [(r.s, r.d, float(r.weight)) for r in wedges.collect()]
-            )
-            node_ids = (
-                [r.id for r in node_sample]
-                if fits
-                else [r.id for r in verts.collect()]
-            )
+            # collect only once the graph is KNOWN to fit (or the kernel
+            # is forced by method='leiden')
+            edge_list = [(r.s, r.d, float(r.weight)) for r in wedges.collect()]
+            node_ids = [r.id for r in verts.collect()]
             levels = leiden_levels(
                 node_ids, edge_list, gamma=gamma,
                 max_levels=max_levels, max_sweeps=max_iter,
@@ -181,11 +175,13 @@ def detect_communities(
     cur_labels = None
     for level in range(max_levels):
         labels = label_propagation(verts, wedges, max_iter=max_iter)
-        # dense 0-based ids per level (gds consecutiveIds)
-        distinct = labels.select("label").distinct().withColumn(
-            "cid", F.dense_rank().over(Window.orderBy("label")).cast("bigint") - 1
-        )
-        dense = labels.join(F.broadcast(distinct), on="label", how="inner").select(
+        # dense 0-based ids per level (gds consecutiveIds) — distributed
+        # rank assignment (operators/ids), never an unpartitioned
+        # dense_rank window; AQE broadcasts the id table while small
+        from graph_rag_agent_spark.operators.ids import dense_ids
+
+        distinct = dense_ids(labels.select("label").distinct(), "label", "cid")
+        dense = labels.join(distinct, on="label", how="inner").select(
             "id", F.col("cid").alias(f"c{level}")
         ).localCheckpoint(eager=True)
 

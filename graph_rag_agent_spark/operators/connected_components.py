@@ -137,11 +137,13 @@ def _distributed_cc(
 
 def consecutive_component_ids(labels: DataFrame) -> DataFrame:
     """(id, component) → (id, component, wcc bigint) with dense 0-based ids,
-    mirroring gds.wcc consecutiveIds=True (similar_entity.py:247-252)."""
-    from pyspark.sql import Window
+    mirroring gds.wcc consecutiveIds=True (similar_entity.py:247-252).
 
-    w = Window.orderBy("component")
-    distinct = labels.select("component").distinct().withColumn(
-        "wcc", F.dense_rank().over(w).cast("bigint") - 1
-    )
-    return labels.join(F.broadcast(distinct), on="component", how="inner")
+    Id assignment is the distributed range-partitioned rank (operators/ids
+    — no unpartitioned dense_rank window: that plan funnels every distinct
+    component through ONE task). The join is left un-hinted: AQE broadcasts
+    the id table while it is small and shuffles it at 10⁸ components."""
+    from graph_rag_agent_spark.operators.ids import dense_ids
+
+    distinct = dense_ids(labels.select("component").distinct(), "component", "wcc")
+    return labels.join(distinct, on="component", how="inner")

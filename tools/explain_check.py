@@ -81,6 +81,27 @@ def main():
     if "SortMergeJoin" not in pj and "ShuffledHashJoin" not in pj and "BroadcastHashJoin" not in pj:
         failures.append("jaccard_pairs: no hash/merge join found (unexpected plan shape)")
 
+    # 7. dense-id assignment must never plan a single-partition exchange
+    # (the round-2 unpartitioned dense_rank funneled every distinct
+    # component/community through ONE task) — executed plan, AQE-final
+    from graph_rag_agent_spark.operators.connected_components import (
+        connected_components,
+        consecutive_component_ids,
+    )
+
+    verts = spark.range(0, 5000).select(F.col("id").cast("string").alias("id"))
+    cc_edges = spark.range(0, 2500).select(
+        (F.col("id") * 2).cast("string").alias("src"),
+        (F.col("id") * 2 + 1).cast("string").alias("dst"),
+    )
+    dense = consecutive_component_ids(connected_components(verts, cc_edges))
+    dense.collect()  # finalize AQE before reading the executed plan
+    p7 = plan_of(dense)
+    if "Exchange SinglePartition" in p7:
+        failures.append("consecutive_component_ids: single-partition exchange in plan")
+    if "dense_rank" in p7:
+        failures.append("consecutive_component_ids: unpartitioned dense_rank survived")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
