@@ -170,7 +170,11 @@ def extract_batch(texts: List[str], extractor: Extractor) -> List[str]:
     """Batch-call protocol with mismatch repair (entity_extractor.py:243-309).
 
     Joins the batch with the separator, calls the extractor once, splits the
-    response; if counts disagree, re-extracts each chunk individually.
+    response; if counts disagree, re-extracts each chunk individually. The
+    repair pass degrades PER CHUNK (reference entity_extractor.py:190-206):
+    one poisoned chunk yields an empty wire result — it must never fail the
+    task (at 10⁹ chunks a per-task failure is a pipeline outage; the same
+    semantics embeddings already apply per row).
     """
     if not texts:
         return []
@@ -182,8 +186,14 @@ def extract_batch(texts: List[str], extractor: Extractor) -> List[str]:
             return parts
     except Exception:
         pass
-    # repair pass: per-chunk fallback
-    return [extractor(t) for t in texts]
+    # repair pass: per-chunk fallback, per-chunk error capture
+    out: List[str] = []
+    for t in texts:
+        try:
+            out.append(extractor(t))
+        except Exception:
+            out.append("")
+    return out
 
 
 def _extract_joined(batch_text: str, extractor: Extractor) -> str:

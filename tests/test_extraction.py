@@ -165,3 +165,28 @@ def test_spark_parse_matches_regex_on_delimiter_bearing_descriptions(spark):
     }
     want_rels = {(s, t, p, d, w) for s, t, p, d, w in parse_relationships(raw)}
     assert got_rels == want_rels
+
+
+def test_poisoned_chunk_degrades_per_row(spark, tiny_corpus):
+    """A chunk whose extraction raises yields an empty wire result while
+    every other chunk extracts normally — per-item degradation (reference
+    entity_extractor.py:190-206), never a task failure."""
+    base = DeterministicCodeExtractor()
+    poison_marker = None
+
+    chunks = chunk_documents(tiny_corpus)
+    poison_marker = chunks.select("text").first().text[:40]
+
+    def poisoned(text):
+        if text.startswith(poison_marker):
+            raise RuntimeError("model refused")
+        return base(text)
+
+    out = extract_chunks(chunks, extractor=poisoned).collect()
+    n_distinct = chunks.select("chunk_id").distinct().count()
+    assert len(out) == n_distinct  # no rows lost, no task failure
+    empties = [r for r in out if r.raw_result == ""]
+    nonempty = [r for r in out if r.raw_result]
+    assert len(empties) >= 1  # the poisoned chunk degraded
+    assert len(nonempty) >= n_distinct - len(empties)
+    assert any(parse_entities(r.raw_result) for r in nonempty)
