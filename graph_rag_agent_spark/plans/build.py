@@ -23,7 +23,7 @@ import time
 import uuid
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from graph_rag_agent_spark.config import PipelineConfig
 from graph_rag_agent_spark.operators.canonicalize import canonicalize
@@ -97,6 +97,11 @@ class BuildPipeline:
             (stage, int(df.count()), int((time.time() - t0) * 1000), self.run_id)
         )
 
+    def _record_value(self, stage: str, n: int, t0: float) -> None:
+        self._metrics.append(
+            (stage, int(n), int((time.time() - t0) * 1000), self.run_id)
+        )
+
     def flush_metrics(self) -> None:
         mdf = self.spark.createDataFrame(
             self._metrics, "stage string, row_count bigint, duration_ms bigint, run_id string"
@@ -105,11 +110,23 @@ class BuildPipeline:
         self._metrics = []
 
     def _save(self, df: DataFrame, name: str, stage: str, t0: float,
-              partition_by=None) -> DataFrame:
-        self.catalog.write(df, name, partition_by=partition_by)
-        out = self.catalog.read(name)
-        self._record(stage, out, t0)
-        return out
+              partition_by=None, extra_metrics: Optional[dict] = None) -> DataFrame:
+        """Write a stage table and record its lineage row count FROM THE
+        WRITE JOB ITSELF via Observation — no read-back count() job per
+        stage (round-2's per-stage lineage scans were a measured chunk of
+        the small-stage tail that capped scaling efficiency).
+        `extra_metrics` maps metric-stage names to aggregate Columns
+        piggybacked on the same pass (e.g. embed-failure counts)."""
+        obs = Observation(f"save_{name}_{uuid.uuid4().hex[:8]}")
+        aggs = [F.count(F.lit(1)).alias("_rows")]
+        for metric_name, col in (extra_metrics or {}).items():
+            aggs.append(col.alias(metric_name))
+        self.catalog.write(df.observe(obs, *aggs), name, partition_by=partition_by)
+        got = obs.get
+        self._record_value(stage, got["_rows"], t0)
+        for metric_name in (extra_metrics or {}):
+            self._record_value(metric_name, int(got[metric_name] or 0), t0)
+        return self.catalog.read(name)
 
     # -- stages -------------------------------------------------------------
     def run(self, corpus: DataFrame, resume: bool = False) -> dict:
@@ -178,13 +195,14 @@ class BuildPipeline:
         if existing_emb is not None:
             # materialize before overwriting the parquet being lazily read
             embeddings = embeddings.localCheckpoint(eager=True)
-        embeddings = self._save(embeddings, "entity_embeddings", "embed", t0)
-        # embedder-outage observability: a systemically failing embedder
-        # (bad credentials, dead endpoint) zero-vectors every row; surface
-        # the per-run failure count so 'no duplicates found' is
-        # distinguishable from 'embedder down' (reference per-row logging)
-        n_embed_failed = embeddings.filter(F.col("embed_failed")).count()
-        self._metrics.append(("embed_failures", int(n_embed_failed), 0, self.run_id))
+        # embed-failure count piggybacks on the write pass: a systemically
+        # failing embedder (bad credentials, dead endpoint) zero-vectors
+        # every row; surfacing the rate distinguishes 'no duplicates found'
+        # from 'embedder down' (reference per-row logging)
+        embeddings = self._save(
+            embeddings, "entity_embeddings", "embed", t0,
+            extra_metrics={"embed_failures": F.sum(F.col("embed_failed").cast("int"))},
+        )
 
         t0 = time.time()
         result = canonicalize(
