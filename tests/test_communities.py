@@ -227,3 +227,40 @@ def test_distributed_lpa_path_modularity_parity_gate(spark):
     )
     assert q_kernel > 0
     assert q_dist >= 0.9 * q_kernel, (q_dist, q_kernel)
+
+
+def test_modularity_sweeps_improve_on_lpa_seed(spark):
+    """The distributed modularity local-move must strictly improve a
+    partition LPA gets wrong (barbell: LPA scatters the path nodes into
+    the clique communities) and stay within 15% of the exact kernel on
+    this adversarial fixture (the kernel's singleton-order assembly of the
+    path community is unreachable by any seeded synchronous local move —
+    measured 0.894× here, 1.0× on ring-of-cliques)."""
+    from graph_rag_agent_spark.functions.leiden_kernel import leiden_levels, modularity
+    from graph_rag_agent_spark.operators.communities import modularity_local_move
+
+    rows = []
+    for c in range(2):
+        ns = [f"b{c}n{i}" for i in range(5)]
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append((ns[i], ns[j], 1.0))
+    path = ["b0n0", "p1", "p2", "p3", "p4", "b1n0"]
+    rows += [(a, b, 1.0) for a, b in zip(path, path[1:])]
+    nodes_l = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+    verts = spark.createDataFrame([(v,) for v in nodes_l], "id string")
+    wp = spark.createDataFrame(rows, "s string, d string, weight double")
+
+    def q_of(labels):
+        ids = {l: i for i, l in enumerate(sorted(set(labels.values())))}
+        return modularity(rows, {v: ids[l] for v, l in labels.items()})
+
+    seed = label_propagation(verts, wp)
+    q_lpa = q_of({r.id: r.label for r in seed.collect()})
+    q_dlm = q_of({
+        r.id: r.label
+        for r in modularity_local_move(verts, wp, init_labels=seed).collect()
+    })
+    q_kernel = modularity(rows, leiden_levels(nodes_l, rows, max_levels=1)[0])
+    assert q_dlm > q_lpa + 1e-6, (q_dlm, q_lpa)
+    assert q_dlm >= 0.85 * q_kernel, (q_dlm, q_kernel)
