@@ -276,7 +276,13 @@ def minhash_lsh_pairs(
     ha, hb = _minhash_params(num_hashes, seed)
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # near-duplicate corpora repeat shingles heavily across docs; the
+        # per-batch cache turns the md5-per-shingle cost from
+        # O(Σ|shingles|) into O(|distinct shingles|) CPU per batch
+        shingle_cache: dict = {}
         for pdf in batches:
+            if len(shingle_cache) > 2_000_000:  # bound task memory ~200 MB
+                shingle_cache.clear()
             out_ids, out_bands = [], []
             for did, text in zip(pdf["id"], pdf["text"]):
                 words = (text or "").lower().split()
@@ -286,14 +292,16 @@ def minhash_lsh_pairs(
                 } or {""}
                 # shingle hash = first 4 md5 bytes mod M (31-bit) — a*h+b
                 # then fits int64 exactly; same formula the SQL oracle runs
-                hv = np.array(
-                    [
-                        int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-                        % _MERSENNE
-                        for s in shingles
-                    ],
-                    dtype=np.int64,
-                )
+                hv = np.empty(len(shingles), dtype=np.int64)
+                for i, s in enumerate(shingles):
+                    h = shingle_cache.get(s)
+                    if h is None:
+                        h = (
+                            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                            % _MERSENNE
+                        )
+                        shingle_cache[s] = h
+                    hv[i] = h
                 mins = ((ha[:, None] * hv[None, :] + hb[:, None]) % _MERSENNE).min(axis=1)
                 for band in range(bands):
                     seg = mins[band * rows_per_band : (band + 1) * rows_per_band]
