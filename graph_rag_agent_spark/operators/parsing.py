@@ -80,15 +80,35 @@ def _rejoin_from(parts: F.Column, start: int) -> F.Column:
     )
 
 
-def parse_entities(results: DataFrame) -> DataFrame:
-    """(chunk_id, raw_result) → (chunk_id, entity_id, entity_type, description),
-    one row per entity record, first occurrence per (chunk, entity) kept."""
-    rec = F.explode(
-        F.regexp_extract_all(F.col("raw_result"), F.lit(ENTITY_PATTERN), F.lit(0))
-    ).alias("rec")
+def parse_records(results: DataFrame) -> DataFrame:
+    """(chunk_id, raw_result) → (chunk_id, kind, rec): every discovered
+    wire record, kind 'E' (entity) / 'R' (relationship), in wire order —
+    BOTH discovery regexes evaluated in ONE pass over the raw text (one
+    tagged-array concat + one explode). This is the only regexp evaluation
+    in the parse phase: checkpoint this frame once and entities, edges,
+    occurrences, nodes and mentions all derive from it via codegen'd
+    split()s. (Parsing each table straight from raw_result re-runs the
+    regex scan per table — 3× the regex work, and at the bench scale the
+    extra passes land in the post-extraction window where this host
+    thermally throttles; see BENCH.md.)"""
+    ent = F.regexp_extract_all(F.col("raw_result"), F.lit(ENTITY_PATTERN), F.lit(0))
+    rel = F.regexp_extract_all(F.col("raw_result"), F.lit(RELATIONSHIP_PATTERN), F.lit(0))
+    tagged = F.concat(
+        F.transform(ent, lambda r: F.struct(F.lit("E").alias("kind"), r.alias("rec"))),
+        F.transform(rel, lambda r: F.struct(F.lit("R").alias("kind"), r.alias("rec"))),
+    )
+    return results.select("chunk_id", F.explode(tagged).alias("_r")).select(
+        "chunk_id", F.col("_r.kind").alias("kind"), F.col("_r.rec").alias("rec")
+    )
+
+
+def entities_from_records(records: DataFrame) -> DataFrame:
+    """records (kind='E' rows) → (chunk_id, entity_id, entity_type,
+    description), first occurrence per (chunk, entity) kept. Pure split()
+    field extraction — no regex."""
     parts = _fields(F.col("rec"))
     return (
-        results.select("chunk_id", rec)
+        records.filter(F.col("kind") == "E")
         .select(
             "chunk_id",
             F.element_at(parts, 2).alias("entity_id"),
@@ -102,11 +122,9 @@ def parse_entities(results: DataFrame) -> DataFrame:
     )
 
 
-def parse_relationships(results: DataFrame) -> DataFrame:
-    """(chunk_id, raw_result) → edges(subj, pred, obj, description, weight, chunk_id)."""
-    rec = F.explode(
-        F.regexp_extract_all(F.col("raw_result"), F.lit(RELATIONSHIP_PATTERN), F.lit(0))
-    ).alias("rec")
+def relationships_from_records(records: DataFrame) -> DataFrame:
+    """records (kind='R' rows) → edges(subj, pred, obj, description,
+    weight, chunk_id). Pure split() field extraction — no regex."""
     parts = _fields(F.col("rec"))
     # rejoined tail is 'DESC" : WEIGHT)' (DESC may itself contain `" : "`);
     # the regex's desc/weight boundary is the FIRST `" : ` (no trailing
@@ -116,7 +134,7 @@ def parse_relationships(results: DataFrame) -> DataFrame:
     # unparseable by a delimiter-bearing description drops the row
     weight = F.expr("try_cast(substring(_w, 1, length(_w) - 1) as double)")
     return (
-        results.select("chunk_id", rec)
+        records.filter(F.col("kind") == "R")
         .select(
             F.element_at(parts, 2).alias("subj"),
             F.element_at(parts, 4).alias("pred"),
@@ -132,17 +150,17 @@ def parse_relationships(results: DataFrame) -> DataFrame:
     )
 
 
-def parse_occurrences(results: DataFrame) -> DataFrame:
-    """(chunk_id, raw_result) → occurrences(chunk_id, entity_id, placeholder,
-    entity_type, description): one row per (chunk, entity) with declared
-    entity records at placeholder=0 and relationship endpoints at
-    placeholder=1 carrying the 未知 props (graph_writer.py:74-98). The
-    chunk-provenanced superset from which nodes and mentions derive."""
-    entities = parse_entities(results).select(
+def occurrences_from_records(records: DataFrame) -> DataFrame:
+    """records → occurrences(chunk_id, entity_id, placeholder, entity_type,
+    description): one row per (chunk, entity) with declared entity records
+    at placeholder=0 and relationship endpoints at placeholder=1 carrying
+    the 未知 props (graph_writer.py:74-98). The chunk-provenanced superset
+    from which nodes and mentions derive."""
+    entities = entities_from_records(records).select(
         "chunk_id", "entity_id", F.lit(0).alias("placeholder"),
         "entity_type", "description",
     )
-    edges = parse_relationships(results)
+    edges = relationships_from_records(records)
     endpoints = (
         edges.select("chunk_id", F.col("subj").alias("entity_id"))
         .unionByName(edges.select("chunk_id", F.col("obj").alias("entity_id")))
@@ -154,6 +172,33 @@ def parse_occurrences(results: DataFrame) -> DataFrame:
         )
     )
     return entities.unionByName(endpoints)
+
+
+def parse_entities(results: DataFrame) -> DataFrame:
+    """(chunk_id, raw_result) → (chunk_id, entity_id, entity_type, description),
+    one row per entity record, first occurrence per (chunk, entity) kept."""
+    rec = F.explode(
+        F.regexp_extract_all(F.col("raw_result"), F.lit(ENTITY_PATTERN), F.lit(0))
+    ).alias("rec")
+    return entities_from_records(
+        results.select("chunk_id", F.lit("E").alias("kind"), rec)
+    )
+
+
+def parse_relationships(results: DataFrame) -> DataFrame:
+    """(chunk_id, raw_result) → edges(subj, pred, obj, description, weight, chunk_id)."""
+    rec = F.explode(
+        F.regexp_extract_all(F.col("raw_result"), F.lit(RELATIONSHIP_PATTERN), F.lit(0))
+    ).alias("rec")
+    return relationships_from_records(
+        results.select("chunk_id", F.lit("R").alias("kind"), rec)
+    )
+
+
+def parse_occurrences(results: DataFrame) -> DataFrame:
+    """(chunk_id, raw_result) → occurrences — single-regex-pass form of
+    occurrences_from_records (both record kinds discovered in one scan)."""
+    return occurrences_from_records(parse_records(results))
 
 
 def derive_nodes(occurrences: DataFrame) -> DataFrame:
@@ -184,7 +229,9 @@ def derive_mentions(occurrences: DataFrame) -> DataFrame:
 def build_graph_tables(
     results: DataFrame,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(chunk_id, raw_result) → (nodes, edges, mentions)."""
-    occurrences = parse_occurrences(results)
-    edges = parse_relationships(results)
+    """(chunk_id, raw_result) → (nodes, edges, mentions) — all three from
+    ONE tagged-records scan (parse_records)."""
+    records = parse_records(results)
+    occurrences = occurrences_from_records(records)
+    edges = relationships_from_records(records)
     return derive_nodes(occurrences), edges, derive_mentions(occurrences)

@@ -48,24 +48,32 @@ def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     from graph_rag_agent_spark.operators.parsing import (
         derive_mentions,
         derive_nodes,
-        parse_occurrences,
-        parse_relationships,
+        occurrences_from_records,
+        parse_records,
+        relationships_from_records,
     )
 
     cfg = config or PipelineConfig()
-    # chunking pipelines INTO extraction in one pass (no materialization of
-    # the text-heavy chunks frame — chunk text serialization is pure I/O and
-    # doesn't core-scale); only the small frames checkpoint: extraction
-    # results (chunk_id + wire text), nodes, embeddings. Parse re-derives
-    # from checkpointed results per downstream action — cheap JVM regex.
+    # chunking pipelines INTO extraction AND record discovery in one pass
+    # (no materialization of the text-heavy chunks or raw-results frames —
+    # chunk text serialization is pure I/O and doesn't core-scale): the
+    # single checkpointed frame out of the burn phase is the tagged RECORDS
+    # table, after which every downstream derivation (edges, occurrences,
+    # nodes, mentions) is a regex-free split/aggregate over it. This
+    # matters doubly on thermally-throttled hosts: whatever runs right
+    # after the all-core extraction burn crawls (BENCH.md), so the
+    # post-burn phase must be as few and as cheap jobs as possible.
     chunks = chunk_documents(corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length)
-    results = extract_chunks(chunks, extractor=extractor).localCheckpoint(eager=True)
-    occurrences = parse_occurrences(results)
-    # edges checkpoint: canonicalize's degree aggregation and the final map
-    # application each act on edges — without a barrier every one of those
-    # actions re-runs the parse of all raw results
-    edges = parse_relationships(results).localCheckpoint(eager=True)
-    nodes = derive_nodes(occurrences).localCheckpoint(eager=True)
+    results = extract_chunks(chunks, extractor=extractor)
+    records = parse_records(results).localCheckpoint(eager=True)
+    occurrences = occurrences_from_records(records)
+    # edges derive lazily from the checkpointed records (cheap codegen'd
+    # splits — no regex, no extra checkpoint barrier)
+    edges = relationships_from_records(records)
+    # nodes stay lazy: the node groupBy pipelines into the embed job (one
+    # barrier instead of two); downstream consumers re-derive it from the
+    # checkpointed records — a cheap partial-agg shuffle
+    nodes = derive_nodes(occurrences)
     mentions = derive_mentions(occurrences)
     embeddings = embed_entities(nodes, dim=cfg.embedding_dim).localCheckpoint(eager=True)
     return canonicalize(
