@@ -11,7 +11,8 @@ Resumability: every stage reads its input from the previous stage's table;
 extraction stage is always incremental via the extraction_cache anti-join.
 
 Tables written (SURVEY.md §1.4):
-  corpus, chunks, extraction_cache, nodes_raw, edges_raw, mentions_raw,
+  corpus, chunks, extraction_cache, records, nodes_raw, edges_raw,
+  mentions_raw,
   entity_embeddings, similar, wcc, nodes, edges, mentions,
   entity_communities, communities, community_hierarchy,
   community_summaries, registry, build_metrics
@@ -179,15 +180,22 @@ class BuildPipeline:
         from graph_rag_agent_spark.operators.parsing import (
             derive_mentions,
             derive_nodes,
-            parse_occurrences,
-            parse_relationships,
+            occurrences_from_records,
+            parse_records,
+            relationships_from_records,
         )
 
+        # ONE regex pass: the tagged records table; every downstream parse
+        # table derives from it via regex-free splits/aggregates
+        records = self._save(parse_records(results), "records", "parse_records", t0)
+        t0 = time.time()
         occurrences = self._save(
-            parse_occurrences(results), "occurrences", "parse_occurrences", t0
+            occurrences_from_records(records), "occurrences", "parse_occurrences", t0
         )
         t0 = time.time()
-        edges_raw = self._save(parse_relationships(results), "edges_raw", "parse_edges", t0)
+        edges_raw = self._save(
+            relationships_from_records(records), "edges_raw", "parse_edges", t0
+        )
         t0 = time.time()
         nodes_raw = self._save(derive_nodes(occurrences), "nodes_raw", "parse_nodes", t0)
         t0 = time.time()

@@ -105,17 +105,20 @@ class IncrementalUpdatePipeline:
         from graph_rag_agent_spark.operators.parsing import (
             derive_mentions,
             derive_nodes,
-            parse_occurrences,
-            parse_relationships,
+            occurrences_from_records,
+            parse_records,
+            relationships_from_records,
         )
 
         all_chunks = kept_chunks.unionByName(new_chunks).localCheckpoint(eager=True)
+        # one regex pass over the fresh delta; both unions derive from it
+        fresh_records = parse_records(fresh_results).localCheckpoint(eager=True)
         occurrences = (
-            occurrences.unionByName(parse_occurrences(fresh_results))
+            occurrences.unionByName(occurrences_from_records(fresh_records))
             .localCheckpoint(eager=True)
         )
         edges_raw = (
-            edges_raw.unionByName(parse_relationships(fresh_results))
+            edges_raw.unionByName(relationships_from_records(fresh_records))
             .localCheckpoint(eager=True)
         )
         nodes_raw = derive_nodes(occurrences).localCheckpoint(eager=True)

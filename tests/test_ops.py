@@ -392,3 +392,25 @@ def test_simhash_fast_equals_sql_form(spark):
     fast = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
     sql = {r.id: r.simhash for r in simhash_signatures_sql(docs).collect()}
     assert fast == sql and len(fast) == 6
+
+
+def test_dense_ids_edges_cases(spark):
+    """dense_ids = dense_rank()-1 semantics without a single-partition
+    window: empty input, single row, and a 1000-key frame must all give
+    exact 0-based ascending ranks."""
+    from graph_rag_agent_spark.operators.ids import dense_ids
+
+    empty = spark.createDataFrame([], "component string")
+    assert dense_ids(empty, "component", "wcc").count() == 0
+
+    one = spark.createDataFrame([("x",)], "component string")
+    assert dense_ids(one, "component", "wcc").collect()[0].wcc == 0
+
+    import random
+
+    keys = [f"k{i:05d}" for i in range(1000)]
+    shuffled = keys[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame([(k,) for k in shuffled], "component string")
+    got = {r.component: r.wcc for r in dense_ids(df, "component", "wcc").collect()}
+    assert got == {k: i for i, k in enumerate(keys)}
