@@ -352,18 +352,30 @@ def _q_community_summaries(spark, sf_dir):
         consecutive_component_ids,
     )
 
-    res = _sf_canonical(spark, sf_dir)
-    wp = weighted_projection(res.edges)
-    verts = res.nodes.select(F.col("entity_id").alias("id"))
-    cc = connected_components(verts, wp, src_col="s", dst_col="d")
-    ec = consecutive_component_ids(cc).select(
-        F.col("id").alias("entity_id"), F.array(F.col("wcc")).alias("communities")
-    )
-    membership = community_membership(ec)
-    rank = community_rank(membership, res.mentions)
-    return summarize_communities(
-        membership, res.nodes, res.edges, rank, top_n=5, level=0
-    )
+    def make():
+        res = _sf_canonical(spark, sf_dir)
+        wp = weighted_projection(res.edges)
+        verts = res.nodes.select(F.col("entity_id").alias("id"))
+        cc = connected_components(verts, wp, src_col="s", dst_col="d")
+        ec = consecutive_component_ids(cc).select(
+            F.col("id").alias("entity_id"), F.array(F.col("wcc")).alias("communities")
+        )
+        membership = community_membership(ec)
+        rank = community_rank(membership, res.mentions)
+        return summarize_communities(
+            membership, res.nodes, res.edges, rank, top_n=5, level=0
+        ).localCheckpoint(eager=True)
+
+    return _memo(spark, f"community_summaries:{sf_dir}", make)
+
+
+def _q_global_search_map(spark, sf_dir):
+    """Q3 map phase (template slot): per-community intermediate answer over
+    the oracle-checked WCC community summaries — closes the round-2 note
+    that Q3 outputs had no CORRECTNESS row."""
+    from graph_rag_agent_spark.operators.search import global_search_map
+
+    return global_search_map(_q_community_summaries(spark, sf_dir), level=0)
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -536,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_linking": _q_entity_linking,
         "link_mention": _q_link_mention,
         "community_summaries": _q_community_summaries,
+        "global_search_map": _q_global_search_map,
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash,
@@ -733,6 +746,80 @@ _CRAFTED_VALUES = "crafted_docs(doc_id, text) AS (VALUES {rows})".format(
 _CRAFTED_CANON_CTE = (
     "WITH RECURSIVE " + _CRAFTED_VALUES + ", " + _canon_body("crafted_docs")
 )
+
+
+# community-summary CTE chain shared by the community_summaries and
+# global_search_map oracles (components of the canonical graph, dense ids,
+# distinct-chunk rank, top-5, stringified member/edge lists)
+_COMM_SUMMARY_BODY = """
+            , canon_nodes AS MATERIALIZED (
+                SELECT DISTINCT coalesce(c.canon, v.w) AS id
+                FROM vocab v LEFT JOIN cmap c ON c.e = v.w
+            ), cund AS (
+                SELECT subj AS x, obj AS y FROM canon_triples
+                UNION
+                SELECT obj AS x, subj AS y FROM canon_triples
+            ), creach AS (
+                SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM cund)
+                UNION
+                SELECT cund.x AS id, creach.r
+                FROM cund JOIN creach ON cund.y = creach.id
+            ), comp AS MATERIALIZED (
+                SELECT n.id, coalesce(a.c, n.id) AS comp
+                FROM canon_nodes n
+                LEFT JOIN (SELECT id, min(r) AS c FROM creach GROUP BY id) a
+                  ON a.id = n.id
+            ), cids AS MATERIALIZED (
+                SELECT comp, row_number() OVER (ORDER BY comp) - 1 AS cid
+                FROM (SELECT DISTINCT comp FROM comp)
+            ), memb AS MATERIALIZED (
+                SELECT c.id AS member_id, '0-' || i.cid AS community_id
+                FROM comp c JOIN cids i ON i.comp = c.comp
+            ), cmention AS (
+                SELECT DISTINCT coalesce(cm.canon, o.w) AS member_id,
+                                sha256(d.text) AS ch
+                FROM ordered o
+                JOIN documents d ON d.doc_id = o.doc_id
+                LEFT JOIN cmap cm ON cm.e = o.w
+            ), crank AS MATERIALIZED (
+                SELECT m.community_id, count(DISTINCT x.ch) AS rnk
+                FROM memb m JOIN cmention x ON x.member_id = m.member_id
+                GROUP BY m.community_id
+            ), topc AS MATERIALIZED (
+                SELECT community_id, rnk FROM crank
+                ORDER BY rnk DESC, community_id LIMIT 5
+            ), ninfo AS (
+                SELECT t.community_id, t.rnk,
+                       list_sort(list(m.member_id || ':term')) AS node_descs
+                FROM topc t JOIN memb m ON m.community_id = t.community_id
+                GROUP BY t.community_id, t.rnk
+            ), eintra AS (
+                SELECT m.community_id, e.subj, e.pred, e.obj
+                FROM canon_triples e
+                JOIN memb m ON m.member_id = e.subj
+                JOIN memb m2 ON m2.member_id = e.obj
+                 AND m2.community_id = m.community_id
+                WHERE e.subj < e.obj
+            ), einfo AS (
+                SELECT community_id,
+                       list_sort(list(subj || ' -> ' || pred || ' -> ' || obj))
+                           AS edge_descs
+                FROM eintra GROUP BY community_id
+            )
+"""
+
+_SUMMARY_EXPR = "'Community ' || n.community_id || ' with ' || len(n.node_descs)::varchar || ' entities and ' || coalesce(len(e.edge_descs), 0)::varchar || ' relationships.'"
+
+_SUMMARY_SELECT = f"""
+            SELECT n.community_id,
+                   0 AS level,
+                   n.rnk::BIGINT AS rank,
+                   {_SUMMARY_EXPR} AS summary,
+                   'Nodes are: ' || array_to_string(n.node_descs, '; ') ||
+                     ' Relationships are: ' ||
+                     coalesce(array_to_string(e.edge_descs, '; '), '')
+                       AS full_content
+            FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id"""
 
 
 def _minhash_oracle_sql() -> str:
@@ -985,72 +1072,12 @@ def oracle_sql() -> dict[str, str]:
         # dense '0-{cid}' ids by component order, rank = distinct mentioning
         # chunks (chunk identity ≡ sha256 of the doc text at these scales),
         # top-5 template summaries with the reference stringification
-        "community_summaries": _CANON_CTE + """
-            , canon_nodes AS MATERIALIZED (
-                SELECT DISTINCT coalesce(c.canon, v.w) AS id
-                FROM vocab v LEFT JOIN cmap c ON c.e = v.w
-            ), cund AS (
-                SELECT subj AS x, obj AS y FROM canon_triples
-                UNION
-                SELECT obj AS x, subj AS y FROM canon_triples
-            ), creach AS (
-                SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM cund)
-                UNION
-                SELECT cund.x AS id, creach.r
-                FROM cund JOIN creach ON cund.y = creach.id
-            ), comp AS MATERIALIZED (
-                SELECT n.id, coalesce(a.c, n.id) AS comp
-                FROM canon_nodes n
-                LEFT JOIN (SELECT id, min(r) AS c FROM creach GROUP BY id) a
-                  ON a.id = n.id
-            ), cids AS MATERIALIZED (
-                SELECT comp, row_number() OVER (ORDER BY comp) - 1 AS cid
-                FROM (SELECT DISTINCT comp FROM comp)
-            ), memb AS MATERIALIZED (
-                SELECT c.id AS member_id, '0-' || i.cid AS community_id
-                FROM comp c JOIN cids i ON i.comp = c.comp
-            ), cmention AS (
-                SELECT DISTINCT coalesce(cm.canon, o.w) AS member_id,
-                                sha256(d.text) AS ch
-                FROM ordered o
-                JOIN documents d ON d.doc_id = o.doc_id
-                LEFT JOIN cmap cm ON cm.e = o.w
-            ), crank AS MATERIALIZED (
-                SELECT m.community_id, count(DISTINCT x.ch) AS rnk
-                FROM memb m JOIN cmention x ON x.member_id = m.member_id
-                GROUP BY m.community_id
-            ), topc AS MATERIALIZED (
-                SELECT community_id, rnk FROM crank
-                ORDER BY rnk DESC, community_id LIMIT 5
-            ), ninfo AS (
-                SELECT t.community_id, t.rnk,
-                       list_sort(list(m.member_id || ':term')) AS node_descs
-                FROM topc t JOIN memb m ON m.community_id = t.community_id
-                GROUP BY t.community_id, t.rnk
-            ), eintra AS (
-                SELECT m.community_id, e.subj, e.pred, e.obj
-                FROM canon_triples e
-                JOIN memb m ON m.member_id = e.subj
-                JOIN memb m2 ON m2.member_id = e.obj
-                 AND m2.community_id = m.community_id
-                WHERE e.subj < e.obj
-            ), einfo AS (
-                SELECT community_id,
-                       list_sort(list(subj || ' -> ' || pred || ' -> ' || obj))
-                           AS edge_descs
-                FROM eintra GROUP BY community_id
-            )
+        "community_summaries": _CANON_CTE + _COMM_SUMMARY_BODY
+        + _SUMMARY_SELECT,
+        # Q3 map phase: '[map] ' || summary per level-0 community
+        "global_search_map": _CANON_CTE + _COMM_SUMMARY_BODY + f"""
             SELECT n.community_id,
-                   0 AS level,
-                   n.rnk::BIGINT AS rank,
-                   'Community ' || n.community_id || ' with ' ||
-                     len(n.node_descs)::varchar || ' entities and ' ||
-                     coalesce(len(e.edge_descs), 0)::varchar ||
-                     ' relationships.' AS summary,
-                   'Nodes are: ' || array_to_string(n.node_descs, '; ') ||
-                     ' Relationships are: ' ||
-                     coalesce(array_to_string(e.edge_descs, '; '), '')
-                       AS full_content
+                   '[map] ' || ({_SUMMARY_EXPR}) AS intermediate
             FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id""",
         "exact_dedup": """
             SELECT sha256(text) AS content_sha256,

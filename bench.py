@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "top_chunks_for_seeds",
     "link_mention",
     "community_summaries",
+    "global_search_map",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",
