@@ -102,6 +102,12 @@ def main():
     if "dense_rank" in p7:
         failures.append("consecutive_component_ids: unpartitioned dense_rank survived")
 
+    # 8. production simhash is a pure map — no shuffle anywhere in its plan
+    # (the SQL twin's 64x row explosion + two groupBys is oracle-only)
+    p8 = plan_of(entry_mod.queries()["simhash_signatures"](spark, sf))
+    if "Exchange" in p8:
+        failures.append("simhash_signatures: shuffle in the production path plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
