@@ -2,15 +2,25 @@
 
 Replaces the reference's in-database ``gds.wcc.write`` (similar_entity.py:231-293).
 No GraphFrames dependency: a driver-side loop of joins/aggregations —
-alternating min-label propagation ("small-star" style): every node adopts
-the minimum label in its closed neighborhood until fixpoint.
+min-label propagation fused with POINTER DOUBLING on the label table
+(the star-contraction family of Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14): each round every node (1) adopts the
+minimum label in its closed neighborhood, then (2) jumps to its label's
+label (``component ← component(component)``). Jumps compose, so the
+distance covered per round roughly doubles — rounds ≈ log₂(diameter),
+NOT diameter. A 2000-node path converges in ~11 rounds instead of ~2000
+(asserted in tests/test_canonicalize.py); at 10⁹ nodes a diameter-100
+co-occurrence component costs ~7 rounds instead of 100 full-edge shuffles.
 
 Scale notes:
-- each iteration is one shuffle (groupBy node) over the edge list; labels
-  propagate along shortest paths, so iterations ≈ component diameter.
-  Similarity clusters (our workload) have tiny diameters (< 5); the
-  CC_MAX_ITERATIONS bound is a safety rail, not a tuning knob.
-- ``localCheckpoint`` every few iterations cuts the lineage chain —
+- each round is two key-partitioned shuffles (groupBy node for the
+  neighbor min, self-join on the label value for the doubling step) over
+  the label table — the edge list itself is scanned once per round, never
+  exploded.
+- invariant: ``component(u)`` is always the id of a vertex in u's
+  component with ``component(u) ≤ u``; both steps only lower it, so the
+  fixpoint is exactly min-reachable-id and termination is monotone.
+- ``localCheckpoint`` every iteration cuts the lineage chain —
   without it the plan doubles per iteration and Catalyst planning time
   explodes (the classic iterative-DataFrame pitfall).
 - convergence check is a cheap aggregate (sum of label changes), not a
@@ -80,6 +90,11 @@ def _driver_union_find(
     )
 
 
+# rounds the last _distributed_cc call took to converge — observability for
+# the log-diameter contract (tests assert a 2000-node path needs ≤ 15)
+LAST_DISTRIBUTED_ROUNDS = 0
+
+
 def _distributed_cc(
     vertices: DataFrame,
     edges: DataFrame,
@@ -90,7 +105,9 @@ def _distributed_cc(
 ) -> DataFrame:
     """→ (id, component) where component = min vertex id (string order)
     reachable in the undirected graph. Vertices with no edges keep their own
-    id as component."""
+    id as component. Rounds ≈ log₂(diameter): each round is one 1-hop
+    min-label propagation + one pointer-doubling jump (see module doc)."""
+    global LAST_DISTRIBUTED_ROUNDS
     # undirected: both directions once
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -107,20 +124,34 @@ def _distributed_cc(
     ).localCheckpoint(eager=True)
 
     for i in range(max_iterations):
-        # min neighbor label per node
+        # step 1: min label in the closed neighborhood (1 hop)
         neighbor_min = (
-            sym.join(labels, sym["b"] == labels["id"], "inner")
+            sym.join(labels.withColumnRenamed("id", "b"), on="b", how="inner")
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nbr_component"))
+            .agg(F.min("component").alias("_nbr"))
+        )
+        stepped = labels.join(neighbor_min, on="id", how="left").select(
+            "id",
+            F.col("component").alias("_orig"),
+            F.least(
+                F.col("component"), F.coalesce("_nbr", F.col("component"))
+            ).alias("component"),
+        )
+        # step 2: pointer doubling — jump to the label's own label. component
+        # values are vertex ids (invariant), so the lookup is a self-join on
+        # the label table; jumps compose across rounds, giving the log bound
+        ptr = stepped.select(
+            F.col("id").alias("_pid"), F.col("component").alias("_pcomp")
+        )
+        jumped = F.least(
+            F.col("component"), F.coalesce("_pcomp", F.col("component"))
         )
         new_labels = (
-            labels.join(neighbor_min, on="id", how="left")
+            stepped.join(ptr, stepped["component"] == ptr["_pid"], "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
-                (F.col("nbr_component") < F.col("component")).alias("_changed"),
+                jumped.alias("component"),
+                (jumped < F.col("_orig")).alias("_changed"),
             )
         )
         # checkpoint every iteration: the convergence aggregate below is an
@@ -130,6 +161,7 @@ def _distributed_cc(
             F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n")
         ).collect()[0]["n"]
         labels = new_labels.drop("_changed")
+        LAST_DISTRIBUTED_ROUNDS = i + 1
         if not changed:
             break
     return labels

@@ -59,6 +59,24 @@ def test_connected_components(spark):
     assert sorted(set(wccs.values())) == [0, 1]
 
 
+def test_distributed_cc_log_diameter_convergence(spark):
+    """The distributed loop must be diameter-INDEPENDENT: pointer doubling
+    makes label jumps compose, so a 2000-node path (diameter 1999) converges
+    in ~log2 rounds — hop-at-a-time propagation would need ~2000."""
+    from graph_rag_agent_spark.operators import connected_components as cc_mod
+
+    n = 2000
+    ids = [f"v{i:04d}" for i in range(n)]
+    verts = spark.createDataFrame([(x,) for x in ids], "id string")
+    edges = spark.createDataFrame(
+        list(zip(ids, ids[1:])), "src string, dst string"
+    )
+    labels = connected_components(verts, edges, driver_threshold=0).collect()
+    assert all(r.component == "v0000" for r in labels)
+    assert len(labels) == n
+    assert cc_mod.LAST_DISTRIBUTED_ROUNDS <= 15
+
+
 def test_local_subblocks_salt_hot_prefixes():
     from graph_rag_agent_spark.operators.canonicalize import _local_subblocks
 
