@@ -203,7 +203,18 @@ def _sf_canonical(spark, sf_dir):
         nodes = nodes.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
         emb = embed_entities(nodes)
-        return canonicalize(nodes, edges, mentions, emb)
+        res = canonicalize(nodes, edges, mentions, emb)
+        # the RESULT frames are lazy views over the broadcast-map rewrite;
+        # every downstream action (community CC probe, dense ids, rank, the
+        # intra-edge joins) would re-run that rewrite per action. One eager
+        # checkpoint of the frames the memo consumers actually reuse
+        # collapses ~6 recomputations to 1 — the production analogue is the
+        # materialized canonical_edges stage table (plans/build.py).
+        return res._replace(
+            nodes=res.nodes.localCheckpoint(eager=True),
+            edges=res.edges.localCheckpoint(eager=True),
+            mentions=res.mentions.localCheckpoint(eager=True),
+        )
 
     return _memo(spark, f"sf_canonical:{sf_dir}", make)
 

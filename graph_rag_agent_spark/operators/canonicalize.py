@@ -392,10 +392,17 @@ def canonicalize(
     entity_disambiguation.py:158-276), run as one Arrow-batched call per
     group in the distributed path; None = the deterministic rules."""
     spark = nodes.sparkSession
-    emb_rows = embeddings.select("entity_id", "embedding").take(
-        driver_threshold_entities + 1
+    # counts-first fit probe: decide driver-vs-distributed from a COUNT of a
+    # limited projection, and collect rows only when they actually fit. The
+    # previous take(T+1) form materialized 200k embedding Rows (hundreds of
+    # MB of Python heap) on the distributed path just to learn "too big".
+    emb_proj = embeddings.select("entity_id", "embedding")
+    fits = (
+        emb_proj.limit(driver_threshold_entities + 1).count()
+        <= driver_threshold_entities
     )
-    if len(emb_rows) <= driver_threshold_entities:
+    if fits:
+        emb_rows = emb_proj.collect()
         return _canonicalize_driver(
             spark, nodes, edges, mentions, emb_rows, cutoff, topk,
             max_edit_distance, adjudicator, resolver,

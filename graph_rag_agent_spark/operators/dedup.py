@@ -138,17 +138,28 @@ def simhash_signatures(
     and not the production operator."""
     import re as _re
 
-    word_re = _re.compile(r"\s+")
+    # EXACT Spark-expression semantics (the SQL twin's _word_set), so the
+    # bit-equality gate holds on ARBITRARY corpora, not just ascii-space
+    # text: Java regex '\s' is ASCII-only (re.ASCII here — Python's default
+    # '\s' also matches U+00A0/U+3000 etc.), and Spark trim() strips ONLY
+    # the space character (str.strip() strips all Unicode whitespace)
+    word_re = _re.compile(r"\s+", _re.ASCII)
     powers = [1 << b for b in range(64)]
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         hash_cache: dict = {}
         for pdf in batches:
+            if len(hash_cache) > 2_000_000:  # bound long-lived task memory
+                hash_cache.clear()
             ids, sigs = [], []
             for did, text in zip(pdf["id"], pdf["text"]):
-                # EXACT Spark-split semantics: split(trim(lower(t)), '\s+')
-                # on an empty string yields [''] (unlike str.split())
-                words = set(word_re.split((text or "").lower().strip()))
+                # NULL text produces no row in the SQL twin (explode over a
+                # null array drops it) — skip, don't fabricate a signature
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue
+                # split(trim(lower(t)), '\s+') on an empty string yields
+                # [''] (unlike str.split())
+                words = set(word_re.split(text.lower().strip(" ")))
                 hs = np.empty(len(words), dtype=np.uint64)
                 for i, w in enumerate(words):
                     h = hash_cache.get(w)

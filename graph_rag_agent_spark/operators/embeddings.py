@@ -49,7 +49,16 @@ def embedder_fingerprint(embedder, dim: int) -> str:
         return f"{v}:d{dim}"
     t = embedder if isinstance(embedder, type) else type(embedder)
     if t.__module__ == "builtins" or t.__name__ == "function":
-        name = getattr(embedder, "__qualname__", repr(embedder))
+        qualname = getattr(embedder, "__qualname__", repr(embedder))
+        # a bare '<lambda>' qualname is not a stable identity even with the
+        # module prefixed (two lambdas in one module collide) — require an
+        # explicit .version instead of silently reusing stale vectors
+        if "<lambda>" in qualname:
+            raise ValueError(
+                "lambda embedders have no stable fingerprint; set a "
+                "`.version` attribute (or use a named function/class)"
+            )
+        name = f"{getattr(embedder, '__module__', 'unknown')}.{qualname}"
     else:
         name = f"{t.__module__}.{t.__qualname__}"
     return f"{name}:d{dim}"
@@ -102,6 +111,12 @@ def embed_entities(
         prev = existing
         if "embed_failed" not in prev.columns:
             prev = prev.withColumn("embed_failed", F.lit(False))
+        # failed rows are NOT reusable: a zero-vector written during an
+        # embedder outage must be retried next run (reference retry-on-NULL
+        # semantics, chunk_indexer.py embeds rows WHERE embedding IS NULL) —
+        # without this filter a transient outage poisons the table until the
+        # text itself changes
+        prev = prev.filter(~F.col("embed_failed"))
         valid = prev.select("entity_id", "embedding", "text_sha", "embed_failed").join(
             cur.select("entity_id", "text_sha"),
             on=["entity_id", "text_sha"],
@@ -157,6 +172,9 @@ def embed_chunks(
             existing = existing.limit(0)
         if "embed_failed" not in existing.columns:
             existing = existing.withColumn("embed_failed", F.lit(False))
+        # same retry-on-failure semantics as entities: flagged rows drop out
+        # of the reusable set, so the anti-join re-embeds them
+        existing = existing.filter(~F.col("embed_failed"))
         todo = distinct.join(existing.select("chunk_id"), on="chunk_id", how="left_anti")
     else:
         todo = distinct

@@ -369,6 +369,64 @@ def test_embedder_version_invalidates_cache_and_flags_failures(spark):
     assert failed.embed_failed and set(failed.embedding) == {0.0}
 
 
+def test_failed_embeddings_retried_next_run(spark):
+    """A row zero-vectored during an embedder outage must NOT be reused by
+    the incremental semi-join: embed_failed rows drop out of the reusable
+    set, so the next run retries them (reference retry-on-NULL semantics,
+    chunk_indexer embeds rows WHERE embedding IS NULL) — round-3 advisory."""
+    from graph_rag_agent_spark.operators.embeddings import (
+        embed_chunks,
+        embed_entities,
+    )
+
+    nodes = spark.createDataFrame(
+        [("alpha", "term", "term alpha")],
+        "entity_id string, entity_type string, description string",
+    )
+
+    class Flaky:
+        version = "flaky-v1"
+        broken = True
+
+        def __call__(self, text, dim):
+            if type(self).broken:
+                raise RuntimeError("embedder down")
+            return [2.0] * dim
+
+    first = embed_entities(nodes, embedder=Flaky()).localCheckpoint(eager=True)
+    assert first.collect()[0].embed_failed
+    Flaky.broken = False  # outage over; same fingerprint (version pinned)
+    row = embed_entities(nodes, existing=first, embedder=Flaky()).collect()[0]
+    assert not row.embed_failed
+    assert set(row.embedding) == {2.0}  # retried, not the cached zero vector
+
+    chunks = spark.createDataFrame([("c1", "some text")], "chunk_id string, text string")
+    Flaky.broken = True
+    cfirst = embed_chunks(chunks, embedder=Flaky()).localCheckpoint(eager=True)
+    assert cfirst.collect()[0].embed_failed
+    Flaky.broken = False
+    crow = embed_chunks(chunks, existing=cfirst, embedder=Flaky()).collect()[0]
+    assert not crow.embed_failed and set(crow.embedding) == {2.0}
+
+
+def test_lambda_embedder_requires_version():
+    """'<lambda>' is not a stable cache-key identity (two lambdas collide
+    even module-qualified) — fingerprinting one must fail loudly unless a
+    .version is provided; named functions fingerprint module-qualified."""
+    import pytest as _pytest
+
+    from graph_rag_agent_spark.operators.embeddings import embedder_fingerprint
+
+    with _pytest.raises(ValueError):
+        embedder_fingerprint(lambda t, d: [0.0] * d, 64)
+
+    def named(t, d):
+        return [0.0] * d
+
+    fp = embedder_fingerprint(named, 64)
+    assert "test_ops" in fp and "named" in fp and fp.endswith(":d64")
+
+
 def test_simhash_fast_equals_sql_form(spark):
     """The production one-pass numpy simhash must be bit-exact with the
     SQL-form oracle twin (which explodes 64 rows per (doc, word) and is
@@ -386,12 +444,20 @@ def test_simhash_fast_equals_sql_form(spark):
             (4, "   "),
             (5, "单个 中文 词语 test mixed"),
             (6, "repeated repeated repeated words words"),
+            # round-3 advisory cases: Unicode whitespace (U+00A0, U+3000)
+            # is NOT a separator for Java regex '\s' and NOT stripped by
+            # Spark trim(); tabs/newlines at the edges ARE '\s' but are
+            # not trimmed; NULL text yields no signature row in either path
+            (7, "no break and　ideographic spaces"),
+            (8, "\tleading tab and trailing newline\n"),
+            (9, " edge nbsp "),
+            (10, None),
         ],
         "doc_id long, text string",
     )
     fast = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
     sql = {r.id: r.simhash for r in simhash_signatures_sql(docs).collect()}
-    assert fast == sql and len(fast) == 6
+    assert fast == sql and len(fast) == 9
 
 
 def test_dense_ids_edges_cases(spark):

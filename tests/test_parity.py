@@ -76,6 +76,50 @@ def test_distributed_path_matches_driver_path(spark):
     assert t_fast == t_dist and t_fast
 
 
+def test_distributed_path_materializes_no_embedding_rows(spark, monkeypatch):
+    """The fit probe decides with a COUNT of a limited projection: on the
+    distributed path no driver-side take()/collect() may materialize rows
+    carrying an embedding vector (the old take(T+1) probe pulled the first
+    200k vectors into Python heap just to learn 'too big')."""
+    from pyspark.sql import DataFrame
+
+    from graph_rag_agent_spark.operators.canonicalize import canonicalize
+    from graph_rag_agent_spark.operators.chunker import chunk_documents
+    from graph_rag_agent_spark.operators.embeddings import embed_entities
+    from graph_rag_agent_spark.operators.extraction import extract_chunks
+    from graph_rag_agent_spark.operators.parsing import build_graph_tables
+
+    pdf = generate_corpus_pdf(12, seed=42)
+    corpus = spark.createDataFrame(
+        pdf, schema="repo string, path string, commit string, lang string, content string"
+    )
+    results = extract_chunks(chunk_documents(corpus)).localCheckpoint(eager=True)
+    nodes, edges, mentions = build_graph_tables(results)
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    emb = embed_entities(nodes).localCheckpoint(eager=True)
+
+    seen: list = []
+    orig_collect, orig_take = DataFrame.collect, DataFrame.take
+
+    def spy_collect(self):
+        rows = orig_collect(self)
+        seen.extend(rows)
+        return rows
+
+    def spy_take(self, n):
+        rows = orig_take(self, n)
+        seen.extend(rows)
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy_collect)
+    monkeypatch.setattr(DataFrame, "take", spy_take)
+    res = canonicalize(nodes, edges, mentions, emb, driver_threshold_entities=0)
+    assert res.edges.count() > 0
+    embedding_rows = [r for r in seen if "embedding" in r.__fields__]
+    assert embedding_rows == []
+
+
 def test_resume_uses_extraction_cache(spark):
     pdf = generate_corpus_pdf(30, seed=42)
     corpus = spark.createDataFrame(
