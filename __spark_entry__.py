@@ -344,14 +344,12 @@ def _q_link_mention(spark, sf_dir):
     return link_mention(nodes, emb, "tables")
 
 
-def _q_community_summaries(spark, sf_dir):
-    """G6-G8 oracle-checkable slice: communities = connected components of
-    the canonical co-occurrence graph (SQL-expressible, unlike Leiden — the
-    Leiden path stays pytest-gated), dense '0-{cid}' ids via the
-    distributed rank assignment, rank = distinct mentioning chunks, top-5
-    summarized with the deterministic template (the G9 LLM slot's None
-    path). Oracle-checks the id assignment, ranking, and the reference's
-    'Nodes are: ... Relationships are: ...' stringification end to end."""
+def _sf_communities(spark, sf_dir):
+    """Shared community artifacts (membership, rank, summaries) over the
+    canonical graph — communities = connected components (SQL-expressible,
+    unlike Leiden — the Leiden path stays pytest-gated), dense '0-{cid}'
+    ids via the distributed rank assignment, rank = distinct mentioning
+    chunks, top-5 summarized with the deterministic template."""
     from graph_rag_agent_spark.operators.communities import (
         community_membership,
         community_rank,
@@ -371,13 +369,75 @@ def _q_community_summaries(spark, sf_dir):
         ec = consecutive_component_ids(cc).select(
             F.col("id").alias("entity_id"), F.array(F.col("wcc")).alias("communities")
         )
-        membership = community_membership(ec)
+        membership = community_membership(ec).localCheckpoint(eager=True)
         rank = community_rank(membership, res.mentions)
-        return summarize_communities(
+        summaries = summarize_communities(
             membership, res.nodes, res.edges, rank, top_n=5, level=0
         ).localCheckpoint(eager=True)
+        return membership, summaries
 
-    return _memo(spark, f"community_summaries:{sf_dir}", make)
+    return _memo(spark, f"sf_communities:{sf_dir}", make)
+
+
+def _q_community_summaries(spark, sf_dir):
+    """G6-G8 oracle-checkable slice: oracle-checks the community id
+    assignment, ranking, and the reference's 'Nodes are: ... Relationships
+    are: ...' stringification end to end (the G9 LLM slot's None path)."""
+    _, summaries = _sf_communities(spark, sf_dir)
+    return summaries
+
+
+def _sf_seed_entities(spark, sf_dir):
+    """Deterministic Q1 seeds: top-5 canonical-graph degree entities (the
+    SQL twin derives the identical set from canon_triples)."""
+    from graph_rag_agent_spark.operators.canonicalize import degree_table
+
+    res = _sf_canonical(spark, sf_dir)
+    return (
+        degree_table(res.edges)
+        .orderBy(F.desc("degree"), F.asc("entity_id"))
+        .limit(5)
+        .select("entity_id")
+    )
+
+
+def _q_top_communities_for_seeds(spark, sf_dir):
+    """Q1 community-retrieval branch (reference local_search.py:86-137):
+    communities containing seed entities ordered by (rank, weight) desc —
+    rank from the top-5 summaries, weight = Q2 community weight (distinct
+    mentioning chunks)."""
+    from graph_rag_agent_spark.operators.search import top_communities_for_seeds
+
+    membership, summaries = _sf_communities(spark, sf_dir)
+    res = _sf_canonical(spark, sf_dir)
+    out = top_communities_for_seeds(
+        membership, summaries, res.mentions, _sf_seed_entities(spark, sf_dir)
+    )
+    return out.select(
+        "community_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.col("weight").cast("bigint").alias("weight"),
+        "summary",
+    )
+
+
+def _q_seed_relationships(spark, sf_dir):
+    """Q1 relationship-retrieval branch: inside (both endpoints seeds) and
+    outside (exactly one endpoint a seed) canonical relationships, top-10
+    each by weight desc (reference local_search.py:86-137). The extractor
+    emits weight 1.0 for every raw relationship and canonical weight is the
+    max over merged duplicates, so the SQL twin inlines 1.0 and the
+    (weight, subj, obj) ordering is fully reproduced."""
+    from graph_rag_agent_spark.operators.search import seed_relationships
+
+    res = _sf_canonical(spark, sf_dir)
+    seeds = _sf_seed_entities(spark, sf_dir)
+    inside, outside = seed_relationships(res.edges, seeds)
+    pick = lambda df, side: df.select(
+        F.lit(side).alias("side"), "subj", "pred", "obj",
+        F.round("weight", 6).alias("weight"),
+    )
+    return pick(inside, "inside").unionByName(pick(outside, "outside"))
 
 
 def _q_global_search_map(spark, sf_dir):
@@ -387,6 +447,37 @@ def _q_global_search_map(spark, sf_dir):
     from graph_rag_agent_spark.operators.search import global_search_map
 
     return global_search_map(_q_community_summaries(spark, sf_dir), level=0)
+
+
+# G4 SLLPA fixture: two triangles sharing the bridge node x — the classic
+# overlapping-community shape; weights 1.0 (weighted_projection of distinct
+# pairs). The oracle UNROLLS the deterministic speaker-listener sweeps in
+# SQL (strongest-label window → heard aggregation → listened window →
+# memory update, 3×), so the whole iterative operator is value-checked.
+_SLLPA_EDGES = [
+    ("a1", "a2"), ("a2", "a3"), ("a1", "a3"), ("a3", "x"),
+    ("x", "b1"), ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+]
+_SLLPA_SWEEPS = 3
+_SLLPA_MIN_ASSOC = 0.2
+
+
+def _q_sllpa_overlap(spark, sf_dir):
+    """G4: overlapping communities via deterministic SLLPA (reference
+    community/detector/sllpa.py:10-89, gds.sllpa minAssociationStrength) —
+    the last §2 operator family to gain a CORRECTNESS row."""
+    from graph_rag_agent_spark.operators.communities import (
+        overlapping_label_propagation,
+    )
+
+    nodes = sorted({v for e in _SLLPA_EDGES for v in e})
+    verts = spark.createDataFrame([(v,) for v in nodes], "id string")
+    wedges = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in _SLLPA_EDGES], "s string, d string, weight double"
+    )
+    return overlapping_label_propagation(
+        verts, wedges, max_iter=_SLLPA_SWEEPS, min_association=_SLLPA_MIN_ASSOC
+    )
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -560,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_mention": _q_link_mention,
         "community_summaries": _q_community_summaries,
         "global_search_map": _q_global_search_map,
+        "top_communities_for_seeds": _q_top_communities_for_seeds,
+        "seed_relationships": _q_seed_relationships,
+        "sllpa_overlap": _q_sllpa_overlap,
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash,
@@ -821,6 +915,19 @@ _COMM_SUMMARY_BODY = """
 
 _SUMMARY_EXPR = "'Community ' || n.community_id || ' with ' || len(n.node_descs)::varchar || ' entities and ' || coalesce(len(e.edge_descs), 0)::varchar || ' relationships.'"
 
+# Q1 seed selection shared by the retrieval-branch oracles: top-5 canonical
+# degree entities (ties → id asc), matching _sf_seed_entities
+_SEED_CTES = """
+            , cdeg AS (
+                SELECT id, count(*) AS degree FROM (
+                    SELECT subj AS id FROM canon_triples
+                    UNION ALL SELECT obj AS id FROM canon_triples
+                ) GROUP BY id
+            ), seeds AS (
+                SELECT id FROM cdeg ORDER BY degree DESC, id LIMIT 5
+            )
+"""
+
 _SUMMARY_SELECT = f"""
             SELECT n.community_id,
                    0 AS level,
@@ -831,6 +938,59 @@ _SUMMARY_SELECT = f"""
                      coalesce(array_to_string(e.edge_descs, '; '), '')
                        AS full_content
             FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id"""
+
+
+def _sllpa_oracle_sql() -> str:
+    """DuckDB twin of operators/communities.overlapping_label_propagation on
+    the fixed two-triangle fixture: the speaker-listener sweeps are UNROLLED
+    (one strongest/heard/listened/memory CTE block per sweep — every window,
+    aggregation and tie-break is the operator's rule verbatim)."""
+    values = ", ".join(f"('{s}', '{d}')" for s, d in _SLLPA_EDGES)
+    sweeps, prev = "", "mem0"
+    for k in range(1, _SLLPA_SWEEPS + 1):
+        sweeps += f"""
+            , strongest{k} AS (
+                SELECT id, label AS speak FROM (
+                    SELECT id, label,
+                           row_number() OVER (
+                               PARTITION BY id ORDER BY hits DESC, label
+                           ) AS rn
+                    FROM {prev}) WHERE rn = 1
+            ), heard{k} AS (
+                SELECT sym.a AS id, s.speak, SUM(sym.weight) AS w
+                FROM sym JOIN strongest{k} s ON s.id = sym.b
+                GROUP BY sym.a, s.speak
+            ), listened{k} AS (
+                SELECT id, speak AS label, 1 AS hits FROM (
+                    SELECT id, speak,
+                           row_number() OVER (
+                               PARTITION BY id ORDER BY w DESC, speak
+                           ) AS rn
+                    FROM heard{k}) WHERE rn = 1
+            ), mem{k} AS (
+                SELECT id, label, SUM(hits) AS hits FROM (
+                    SELECT id, label, hits FROM {prev}
+                    UNION ALL
+                    SELECT id, label, hits FROM listened{k}
+                ) GROUP BY id, label
+            )"""
+        prev = f"mem{k}"
+    return f"""
+        WITH e(s, d) AS (VALUES {values}),
+        sym AS (
+            SELECT s AS a, d AS b, 1.0 AS weight FROM e
+            UNION ALL
+            SELECT d AS a, s AS b, 1.0 AS weight FROM e
+        ),
+        mem0 AS (
+            SELECT a AS id, a AS label, 1 AS hits
+            FROM (SELECT DISTINCT a FROM sym)
+        ){sweeps}
+        , totals AS (SELECT id, SUM(hits) AS total FROM {prev} GROUP BY id)
+        SELECT m.id, m.label,
+               round(m.hits::double / t.total, 6) AS strength
+        FROM {prev} m JOIN totals t ON t.id = m.id
+        WHERE m.hits::double / t.total >= {_SLLPA_MIN_ASSOC}"""
 
 
 def _minhash_oracle_sql() -> str:
@@ -1007,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY least(subj, obj), greatest(subj, obj)""",
         "simhash_signatures": _SIMHASH_ORACLE,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "sllpa_overlap": _sllpa_oracle_sql(),
         "kg_triples_raw": _PAIRS_CTE + "SELECT DISTINCT subj, pred, obj FROM pairs",
         "kg_entities": _WORDS_CTE
         + "SELECT DISTINCT w AS entity_id, 'term' AS entity_type FROM ordered",
@@ -1090,6 +1251,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.community_id,
                    '[map] ' || ({_SUMMARY_EXPR}) AS intermediate
             FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id""",
+        # Q1 community branch: seed-hit communities by (rank, weight) desc;
+        # seeds = top-5 canonical-degree entities; weight = Q2 community
+        # weight (distinct mentioning chunks)
+        "top_communities_for_seeds": _CANON_CTE + _COMM_SUMMARY_BODY
+        + _SEED_CTES + f"""
+            , cweight AS (
+                SELECT m.community_id, count(DISTINCT x.ch) AS weight
+                FROM memb m JOIN cmention x ON x.member_id = m.member_id
+                GROUP BY m.community_id
+            )
+            SELECT n.community_id, n.rnk::BIGINT AS rank,
+                   coalesce(w.weight, 0)::BIGINT AS weight,
+                   {_SUMMARY_EXPR} AS summary
+            FROM ninfo n
+            JOIN (SELECT DISTINCT m.community_id
+                  FROM memb m JOIN seeds s ON s.id = m.member_id) h
+              ON h.community_id = n.community_id
+            LEFT JOIN einfo e ON e.community_id = n.community_id
+            LEFT JOIN cweight w ON w.community_id = n.community_id
+            ORDER BY n.rnk DESC, weight DESC, n.community_id
+            LIMIT 3""",
+        # Q1 relationship branch: inside/outside seed relationships, top-10
+        # each by (weight desc, subj, obj); extractor weight is 1.0
+        "seed_relationships": _CANON_CTE + _SEED_CTES + """
+            , flagged AS (
+                SELECT t.subj, t.pred, t.obj,
+                       (t.subj IN (SELECT id FROM seeds)) AS ss,
+                       (t.obj IN (SELECT id FROM seeds)) AS so
+                FROM canon_triples t
+            ), inside AS (
+                SELECT 'inside' AS side, subj, pred, obj,
+                       CAST(1.0 AS DOUBLE) AS weight
+                FROM flagged WHERE ss AND so
+                ORDER BY subj, obj LIMIT 10
+            ), outside AS (
+                SELECT 'outside' AS side, subj, pred, obj,
+                       CAST(1.0 AS DOUBLE) AS weight
+                FROM flagged WHERE ss <> so
+                ORDER BY subj, obj LIMIT 10
+            )
+            SELECT * FROM inside UNION ALL SELECT * FROM outside""",
         "exact_dedup": """
             SELECT sha256(text) AS content_sha256,
                    count(*) AS dup_count,

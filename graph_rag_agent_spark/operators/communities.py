@@ -41,6 +41,7 @@ from graph_rag_agent_spark.config import (
     COMMUNITY_MAX_LEVELS,
     COMMUNITY_TOP_SUMMARIES,
 )
+from graph_rag_agent_spark.functions.iterative import loop_checkpoint
 
 
 def weighted_projection(edges: DataFrame) -> DataFrame:
@@ -89,9 +90,9 @@ def label_propagation(
     sym = (
         wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")
         .unionByName(wedges.select(F.col("d").alias("a"), F.col("s").alias("b"), "weight"))
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("label")).localCheckpoint(eager=True)
+    labels = vertices.select(F.col("id"), F.col("id").alias("label")).transform(loop_checkpoint)
 
     for _ in range(max_iter):
         scores = (
@@ -112,7 +113,7 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         changed = updated.agg(F.sum(F.when(F.col("_chg"), 1).otherwise(0)).alias("n")).collect()[0]["n"]
         labels = updated.drop("_chg")
@@ -127,6 +128,7 @@ def modularity_local_move(
     gamma: float = COMMUNITY_GAMMA,
     max_iter: int = COMMUNITY_MAX_ITER,
     init_labels: DataFrame = None,
+    constraint_labels: DataFrame = None,
 ) -> DataFrame:
     """→ (id, label): DISTRIBUTED modularity local move — the Louvain/
     Leiden phase-1 sweep as DataFrame ops (round-2 judge: 'a distributed
@@ -151,6 +153,16 @@ def modularity_local_move(
     the MODULARITY-REFINEMENT phase — the same shape as Leiden seeding
     each aggregation level with the previous partition.
 
+    `constraint_labels` (id, label) turns the sweep into Leiden's
+    REFINEMENT phase (the kernel's _local_move `group` constraint,
+    functions/leiden_kernel.py:47-87): starting from singletons, a node
+    may only join communities whose members share its constraint group —
+    the within-community singleton re-assembly that splits badly-connected
+    communities before aggregation (Traag et al. 2019, the step Louvain
+    lacks). A refined community is always a subset of one constraint
+    group, so the aggregate graph built on the refined partition has
+    internally-connected vertices.
+
     Scale shape: per sweep one groupBy(label) for community totals, one
     edge-list join + groupBy for neighbor-community weights, one window
     for the argmax — all on high-cardinality keys; per-iteration
@@ -159,7 +171,7 @@ def modularity_local_move(
     sym = (
         wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")
         .unionByName(wedges.select(F.col("d").alias("a"), F.col("s").alias("b"), "weight"))
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     deg = sym.groupBy(F.col("a").alias("id")).agg(F.sum("weight").alias("k"))
     seed = (
@@ -170,11 +182,17 @@ def modularity_local_move(
     labels = (
         seed.join(deg, on="id", how="left")
         .fillna({"k": 0.0})
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     m2 = labels.agg(F.sum("k")).first()[0] or 0.0
     if m2 <= 0:
         return labels.select("id", "label")
+
+    groups = None
+    if constraint_labels is not None:
+        groups = constraint_labels.select(
+            "id", F.col("label").alias("_grp")
+        ).transform(loop_checkpoint)
 
     zero_sweeps = 0
     for sweep in range(max_iter):
@@ -205,6 +223,27 @@ def modularity_local_move(
             .groupBy("id", "clabel")
             .agg(F.max("w_in").alias("w_in"))
         )
+        if groups is not None:
+            # refinement constraint: target community's group (shared by
+            # all its members — moves never cross groups, so min is just a
+            # deterministic pick) must equal the node's own group. The
+            # detach target (own unused id) has no members yet → allowed
+            # explicitly (it stays inside the node's group by definition).
+            comm_grp = (
+                labels.join(groups, on="id")
+                .groupBy("label")
+                .agg(F.min("_grp").alias("_cgrp"))
+                .withColumnRenamed("label", "clabel")
+            )
+            cands = (
+                cands.join(groups, on="id")
+                .join(comm_grp, on="clabel", how="left")
+                .filter(
+                    (F.col("_cgrp") == F.col("_grp"))
+                    | (F.col("clabel") == F.col("id"))
+                )
+                .drop("_grp", "_cgrp")
+            )
         joined = (
             cands.join(labels, on="id")
             .join(tot.withColumnRenamed("label", "clabel"), on="clabel", how="left")
@@ -237,7 +276,7 @@ def modularity_local_move(
             )
             .withColumn("_chg", F.col("new_label") != F.col("label"))
             .select("id", F.col("new_label").alias("label"), "k", "_chg")
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         changed = updated.agg(
             F.sum(F.when(F.col("_chg"), 1).otherwise(0))
@@ -273,7 +312,7 @@ def detect_communities(
     phase 1, parity-gated vs the kernel in pytest). `method='lpa'` forces
     the plain weighted-LPA variant; 'leiden' forces the kernel."""
     verts = nodes.select(F.col("entity_id").alias("id"))
-    wedges = weighted_projection(edges).localCheckpoint(eager=True)
+    wedges = weighted_projection(edges).transform(loop_checkpoint)
 
     if method != "lpa":
         # fit probe with CHEAP COUNTS (limit(T+1).count() scans ≤ T+1 rows
@@ -304,63 +343,112 @@ def detect_communities(
                 rows, "entity_id string, communities array<bigint>"
             )
 
+    # ---- distributed Leiden-shaped hierarchy loop ----
+    # Full phase structure per level (mirrors the kernel, leiden_levels):
+    #   1. local move  — LPA seed (level 0) or the previous level's
+    #      UNREFINED partition, refined by modularity sweeps → `labels`
+    #      (what the level REPORTS);
+    #   2. refinement  — constrained local move from singletons within
+    #      `labels` (constraint_labels) → `refined`;
+    #   3. aggregation — contract on `refined` (rep = min member id), next
+    #      level's seed = `labels` mapped onto the aggregate vertices.
+    # `assign` tracks original entity → current aggregate vertex, exactly
+    # the kernel's assign map. Known approximation vs the kernel: the
+    # contracted graph drops intra-community self-loop weight (affects k/m2
+    # at upper levels only), bounded by the ≥0.95× modularity parity gate.
+    from graph_rag_agent_spark.operators.ids import dense_ids
+
     per_level: List[DataFrame] = []
-    cur_labels = None
+    assign = verts.select(
+        F.col("id").alias("entity_id"), F.col("id").alias("agg")
+    ).transform(loop_checkpoint)
+    cur_verts = verts
+    agg_init = None
     for level in range(max_levels):
         if method == "lpa":
-            labels = label_propagation(verts, wedges, max_iter=max_iter)
+            labels = label_propagation(cur_verts, wedges, max_iter=max_iter)
         else:
             # LPA converges fast; the modularity sweeps refine its
-            # partition toward the kernel's objective (≥ 0.9× gated)
-            seed = label_propagation(verts, wedges, max_iter=max_iter)
+            # partition toward the kernel's objective (≥ 0.95× gated)
+            seed = (
+                agg_init
+                if agg_init is not None
+                else label_propagation(cur_verts, wedges, max_iter=max_iter)
+            )
             labels = modularity_local_move(
-                verts, wedges, gamma=gamma, max_iter=max_iter,
+                cur_verts, wedges, gamma=gamma, max_iter=max_iter,
                 init_labels=seed,
             )
+        labels = labels.transform(loop_checkpoint)
+
         # dense 0-based ids per level (gds consecutiveIds) — distributed
         # rank assignment (operators/ids), never an unpartitioned
         # dense_rank window; AQE broadcasts the id table while small
-        from graph_rag_agent_spark.operators.ids import dense_ids
-
         distinct = dense_ids(labels.select("label").distinct(), "label", "cid")
         dense = labels.join(distinct, on="label", how="inner").select(
-            "id", F.col("cid").alias(f"c{level}")
-        ).localCheckpoint(eager=True)
-
-        if cur_labels is None:
-            cur_labels = dense  # (entity id → c0)
-        else:
-            # previous level's community id is this level's vertex id
-            prev_col = f"c{level - 1}"
-            mapping = dense.withColumnRenamed("id", "_prev_comm")
-            cur_labels = cur_labels.join(
-                F.broadcast(mapping),
-                cur_labels[prev_col] == mapping["_prev_comm"].cast("bigint"),
-                "inner",
-            ).drop("_prev_comm").localCheckpoint(eager=True)
-        per_level.append(dense)
+            F.col("id").alias("agg"), F.col("cid").alias(f"c{level}")
+        )
+        per_level.append(
+            assign.join(dense, on="agg", how="inner")
+            .select("entity_id", f"c{level}")
+            .transform(loop_checkpoint)
+        )
 
         if level + 1 < max_levels:
-            # contract: vertices = communities, edges aggregated between them
-            lbl = dense.select(F.col("id").alias("_v"), F.col(f"c{level}").cast("string").alias("_c"))
+            if method == "lpa":
+                refined = labels  # plain LPA: contract on the partition
+            else:
+                refined = modularity_local_move(
+                    cur_verts, wedges, gamma=gamma, max_iter=max_iter,
+                    constraint_labels=labels,
+                )
+            # aggregate vertex per refined community = min member id
+            rep = refined.groupBy("label").agg(F.min("id").alias("rep"))
+            rmap = (
+                refined.join(rep, on="label")
+                .select("id", "rep")
+                .transform(loop_checkpoint)
+            )
+            assign = (
+                assign.join(rmap.withColumnRenamed("id", "agg"), on="agg")
+                .select("entity_id", F.col("rep").alias("agg"))
+                .transform(loop_checkpoint)
+            )
             wedges = (
-                wedges.join(lbl.withColumnRenamed("_v", "s").withColumnRenamed("_c", "cs"), on="s")
-                .join(lbl.withColumnRenamed("_v", "d").withColumnRenamed("_c", "cd"), on="d")
-                .filter(F.col("cs") != F.col("cd"))
+                wedges.join(
+                    rmap.select(F.col("id").alias("s"), F.col("rep").alias("rs")), on="s"
+                )
+                .join(
+                    rmap.select(F.col("id").alias("d"), F.col("rep").alias("rd")), on="d"
+                )
+                .filter(F.col("rs") != F.col("rd"))
                 .select(
-                    F.least("cs", "cd").alias("s"),
-                    F.greatest("cs", "cd").alias("d"),
+                    F.least("rs", "rd").alias("s"),
+                    F.greatest("rs", "rd").alias("d"),
                     "weight",
                 )
                 .groupBy("s", "d")
                 .agg(F.sum("weight").alias("weight"))
-                .localCheckpoint(eager=True)
+                .transform(loop_checkpoint)
             )
-            verts = lbl.select(F.col("_c").alias("id")).distinct()
+            cur_verts = rep.select(F.col("rep").alias("id"))
+            if method != "lpa":
+                # aggregate level starts from the UNREFINED partition
+                # (Traag alg. 1): each refined rep inherits its members'
+                # shared `labels` community (min = deterministic pick)
+                agg_init = (
+                    rmap.join(labels, on="id")
+                    .groupBy("rep")
+                    .agg(F.min("label").alias("label"))
+                    .select(F.col("rep").alias("id"), "label")
+                )
 
+    out = per_level[0]
+    for ent in per_level[1:]:
+        out = out.join(ent, on="entity_id", how="inner")
     level_cols = [f"c{i}" for i in range(max_levels)]
-    return cur_labels.select(
-        F.col("id").alias("entity_id"), F.array(*level_cols).alias("communities")
+    return out.select(
+        "entity_id", F.array(*level_cols).alias("communities")
     )
 
 
@@ -380,12 +468,12 @@ def overlapping_label_propagation(
     sym = (
         wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")
         .unionByName(wedges.select(F.col("d").alias("a"), F.col("s").alias("b"), "weight"))
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
     # memory: (id, label, hits); current strongest = max hits, tie min label
     memory = vertices.select(
         F.col("id"), F.col("id").alias("label"), F.lit(1).alias("hits")
-    ).localCheckpoint(eager=True)
+    ).transform(loop_checkpoint)
 
     for _ in range(max_iter):
         w = Window.partitionBy("id").orderBy(F.desc("hits"), F.asc("label"))
@@ -409,7 +497,7 @@ def overlapping_label_propagation(
             memory.unionByName(listened)
             .groupBy("id", "label")
             .agg(F.sum("hits").alias("hits"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
 
     totals = memory.groupBy("id").agg(F.sum("hits").alias("_total"))

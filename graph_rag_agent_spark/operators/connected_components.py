@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from graph_rag_agent_spark.config import CC_DRIVER_THRESHOLD, CC_MAX_ITERATIONS
+from graph_rag_agent_spark.functions.iterative import loop_checkpoint
 
 
 def connected_components(
@@ -116,12 +117,12 @@ def _distributed_cc(
             edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
         )
         .dropDuplicates(["a", "b"])
-        .localCheckpoint(eager=True)
+        .transform(loop_checkpoint)
     )
 
     labels = vertices.select(
         F.col(vertex_col).alias("id"), F.col(vertex_col).alias("component")
-    ).localCheckpoint(eager=True)
+    ).transform(loop_checkpoint)
 
     for i in range(max_iterations):
         # step 1: min label in the closed neighborhood (1 hop)
@@ -156,7 +157,7 @@ def _distributed_cc(
         )
         # checkpoint every iteration: the convergence aggregate below is an
         # action anyway, and uncut lineage doubles the plan per iteration
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.transform(loop_checkpoint)
         changed = new_labels.agg(
             F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n")
         ).collect()[0]["n"]

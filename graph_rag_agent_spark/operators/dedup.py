@@ -276,51 +276,100 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    production_hash: bool = False,
 ) -> DataFrame:
     """→ candidate near-dup pairs (doc_a, doc_b) sharing ≥ 1 LSH band.
 
     Word-shingle → K minhashes (numpy, Arrow-batched) → B band keys →
     self-join on band key. With K=64, B=16 (rows/band = 4) the S-curve
-    threshold sits at ≈ (1/16)^(1/4) ≈ 0.5 jaccard."""
+    threshold sits at ≈ (1/16)^(1/4) ≈ 0.5 jaccard.
+
+    `production_hash=False` (default) hashes each distinct shingle STRING
+    with md5 — the form the DuckDB oracle replays literally. The 100 TB
+    path is `production_hash=True`: per-word crc32 (C-speed, cached per
+    batch) then a VECTORIZED polynomial window hash over the word-hash
+    array — zero per-shingle Python; band keys fold numerically. Identical
+    LSH statistics (uniform 31-bit shingle hashes either way; recall
+    equality asserted in pytest), different hash family, so it is a
+    throughput path, not the oracle twin."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     ha, hb = _minhash_params(num_hashes, seed)
 
+    def md5_shingle_hashes(words, shingle_cache) -> np.ndarray:
+        shingles = {
+            " ".join(words[i : i + shingle])
+            for i in range(max(0, len(words) - shingle + 1))
+        } or {""}
+        # shingle hash = first 4 md5 bytes mod M (31-bit) — a*h+b
+        # then fits int64 exactly; same formula the SQL oracle runs
+        hv = np.empty(len(shingles), dtype=np.int64)
+        for i, s in enumerate(shingles):
+            h = shingle_cache.get(s)
+            if h is None:
+                h = (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+                    % _MERSENNE
+                )
+                shingle_cache[s] = h
+            hv[i] = h
+        return hv
+
+    _POLY_P = 1_000_003  # acc < M=2³¹, acc·P + w < 2⁵² — exact in int64
+
+    def poly_shingle_hashes(words, word_cache) -> np.ndarray:
+        import zlib
+
+        n = len(words)
+        if n < shingle:
+            return np.array([0], dtype=np.int64)
+        wh = np.empty(n, dtype=np.int64)
+        for i, w in enumerate(words):
+            h = word_cache.get(w)
+            if h is None:
+                h = zlib.crc32(w.encode()) % _MERSENNE
+                word_cache[w] = h
+            wh[i] = h
+        # sliding-window polynomial, fully vectorized over positions
+        m = n - shingle + 1
+        acc = np.zeros(m, dtype=np.int64)
+        for j in range(shingle):
+            acc = (acc * _POLY_P + wh[j : j + m]) % _MERSENNE
+        return np.unique(acc)
+
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # near-duplicate corpora repeat shingles heavily across docs; the
-        # per-batch cache turns the md5-per-shingle cost from
-        # O(Σ|shingles|) into O(|distinct shingles|) CPU per batch
-        shingle_cache: dict = {}
+        # near-duplicate corpora repeat shingles/words heavily across docs;
+        # the per-batch cache turns hashing cost from O(Σ occurrences)
+        # into O(distinct) CPU per batch
+        cache: dict = {}
         for pdf in batches:
-            if len(shingle_cache) > 2_000_000:  # bound task memory ~200 MB
-                shingle_cache.clear()
+            if len(cache) > 2_000_000:  # bound task memory ~200 MB
+                cache.clear()
             out_ids, out_bands = [], []
             for did, text in zip(pdf["id"], pdf["text"]):
                 words = (text or "").lower().split()
-                shingles = {
-                    " ".join(words[i : i + shingle])
-                    for i in range(max(0, len(words) - shingle + 1))
-                } or {""}
-                # shingle hash = first 4 md5 bytes mod M (31-bit) — a*h+b
-                # then fits int64 exactly; same formula the SQL oracle runs
-                hv = np.empty(len(shingles), dtype=np.int64)
-                for i, s in enumerate(shingles):
-                    h = shingle_cache.get(s)
-                    if h is None:
-                        h = (
-                            int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-                            % _MERSENNE
-                        )
-                        shingle_cache[s] = h
-                    hv[i] = h
+                if production_hash:
+                    hv = poly_shingle_hashes(words, cache)
+                else:
+                    hv = md5_shingle_hashes(words, cache)
                 mins = ((ha[:, None] * hv[None, :] + hb[:, None]) % _MERSENNE).min(axis=1)
-                for band in range(bands):
-                    seg = mins[band * rows_per_band : (band + 1) * rows_per_band]
-                    key = hashlib.md5(
-                        (str(band) + ":" + ",".join(map(str, seg))).encode()
-                    ).hexdigest()
-                    out_ids.append(did)
-                    out_bands.append(key)
+                if production_hash:
+                    # numeric band fold — no per-band md5/string formatting
+                    segs = mins.reshape(bands, rows_per_band)
+                    acc = np.zeros(bands, dtype=np.int64)
+                    for j in range(rows_per_band):
+                        acc = (acc * _POLY_P + segs[:, j]) % _MERSENNE
+                    for band in range(bands):
+                        out_ids.append(did)
+                        out_bands.append(f"{band}:{acc[band]}")
+                else:
+                    for band in range(bands):
+                        seg = mins[band * rows_per_band : (band + 1) * rows_per_band]
+                        key = hashlib.md5(
+                            (str(band) + ":" + ",".join(map(str, seg))).encode()
+                        ).hexdigest()
+                        out_ids.append(did)
+                        out_bands.append(key)
             yield pd.DataFrame({"id": out_ids, "band": out_bands})
 
     base = docs.select(F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text"))

@@ -198,10 +198,10 @@ def test_detect_and_summarize(spark):
 def test_distributed_lpa_path_modularity_parity_gate(spark):
     """The G3 quality gate the round-2 judge asked for: on a graph ABOVE
     the driver threshold (forced via a tiny driver_threshold_edges), the
-    distributed weighted-LPA + contraction path that replaces the exact
-    Leiden kernel must concede at most 10% modularity versus the kernel on
-    the same seed-42 fixture — the documented approximation is bounded,
-    not silent."""
+    distributed path that replaces the exact Leiden kernel must concede at
+    most 5% modularity versus the kernel on the same seed-42 fixture — the
+    documented approximation is bounded, not silent (gate tightened from
+    0.9x after the refinement phase landed)."""
     from graph_rag_agent_spark.functions.leiden_kernel import modularity
 
     nodes_l, rows = _ring_of_cliques(n_cliques=8, size=5)
@@ -226,7 +226,74 @@ def test_distributed_lpa_path_modularity_parity_gate(spark):
         edge_list, {r.entity_id: int(r.communities[0]) for r in dist.collect()}
     )
     assert q_kernel > 0
-    assert q_dist >= 0.9 * q_kernel, (q_dist, q_kernel)
+    assert q_dist >= 0.95 * q_kernel, (q_dist, q_kernel)
+
+
+def test_refinement_splits_badly_connected_community(spark):
+    """Leiden refinement (constrained local move from singletons): a
+    constraint group containing two cliques bridged by nothing (the extreme
+    badly-connected community) must be re-assembled as (at least) two
+    refined communities, never one — and no refined community may cross
+    constraint groups."""
+    from graph_rag_agent_spark.operators.communities import modularity_local_move
+
+    rows = []
+    for c in range(2):
+        ns = [f"q{c}n{i}" for i in range(4)]
+        for i in range(4):
+            for j in range(i + 1, 4):
+                rows.append((ns[i], ns[j], 1.0))
+    # a third clique in its OWN group, wired to both others (so the
+    # unconstrained sweep would happily mix groups — the filter must stop it)
+    ns = [f"zn{i}" for i in range(4)]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            rows.append((ns[i], ns[j], 1.0))
+    rows += [("q0n0", "zn0", 1.0), ("q1n0", "zn1", 1.0)]
+
+    nodes_l = sorted({a for a, _, _ in rows} | {b for _, b, _ in rows})
+    verts = spark.createDataFrame([(v,) for v in nodes_l], "id string")
+    wp = spark.createDataFrame(rows, "s string, d string, weight double")
+    # constraint: both q-cliques forced into ONE group, z-clique its own
+    grp = spark.createDataFrame(
+        [(v, "G1" if v.startswith("q") else "G2") for v in nodes_l],
+        "id string, label string",
+    )
+    refined = {
+        r.id: r.label
+        for r in modularity_local_move(verts, wp, constraint_labels=grp).collect()
+    }
+    q0 = {refined[f"q0n{i}"] for i in range(4)}
+    q1 = {refined[f"q1n{i}"] for i in range(4)}
+    z = {refined[f"zn{i}"] for i in range(4)}
+    assert len(q0) == 1 and len(q1) == 1 and len(z) == 1
+    assert q0 != q1                      # disconnected-within-group split
+    assert not (q0 | q1) & z             # no community crosses groups
+
+
+def test_distributed_hierarchy_leiden_shape(spark):
+    """Multi-level distributed path: level 0 recovers the cliques; level 1
+    (on the refined-contracted graph, seeded with the unrefined partition)
+    groups whole cliques, never splits one; every entity gets a full level
+    array."""
+    nodes_l, rows = _ring_of_cliques(n_cliques=6, size=4)
+    edges = _edges(spark, rows)
+    nodes = spark.createDataFrame(
+        [(v, "class", v) for v in nodes_l],
+        "entity_id string, entity_type string, description string",
+    )
+    # max_iter=5 keeps the test fast: LPA converges in ~3 sweeps on this
+    # fixture and the 4-cliques re-assemble within 4 constrained sweeps
+    ec = detect_communities(
+        nodes, edges, max_levels=2, driver_threshold_edges=5, max_iter=5
+    )
+    got = {r.entity_id: list(r.communities) for r in ec.collect()}
+    assert set(got) == set(nodes_l)
+    assert all(len(v) == 2 for v in got.values())
+    for c in range(6):
+        ids = [f"c{c}n{i}" for i in range(4)]
+        assert len({got[v][0] for v in ids}) == 1  # clique intact at L0
+        assert len({got[v][1] for v in ids}) == 1  # and not split at L1
 
 
 def test_modularity_sweeps_improve_on_lpa_seed(spark):

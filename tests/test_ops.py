@@ -96,6 +96,30 @@ def test_minhash_lsh(spark, docs):
     assert ("1", "4") not in pairs and ("1", "5") not in pairs
 
 
+def test_minhash_production_hash_same_recall(spark):
+    """The vectorized crc32-polynomial production hash path must find the
+    same near-dup pairs as the md5 oracle-twin path on a corpus with clear
+    near-dups and clear non-dups (both are uniform 31-bit hash families —
+    only the throughput differs, not the LSH statistics)."""
+    rows = []
+    base = " ".join(f"tok{i}" for i in range(60))
+    for d in range(8):
+        rows.append((2 * d, base + f" tail{d}"))           # near-dup of 2d+1
+        rows.append((2 * d + 1, base + f" tail{d} extra"))
+        rows.append((100 + d, " ".join(f"u{d}x{i}" for i in range(60))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    md5_pairs = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    poly_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, production_hash=True).collect()
+    }
+    expected = {(str(2 * d), str(2 * d + 1)) for d in range(8)}
+    assert expected <= md5_pairs and expected <= poly_pairs
+    assert md5_pairs == poly_pairs
+
+
 @pytest.fixture(scope="module")
 def vectors(spark):
     rng = np.random.RandomState(7)
