@@ -202,19 +202,21 @@ def _sf_canonical(spark, sf_dir):
         nodes, edges, mentions = build_graph_tables(_raw_results(spark, sf_dir))
         nodes = nodes.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
-        emb = embed_entities(nodes)
+        # embeddings materialized ONCE: canonicalize's fit probe is a count
+        # and the driver path collects afterwards — uncached, each action
+        # would re-run the embedding UDF (the production plan materializes
+        # the embeddings stage table for the same reason, plans/build.py)
+        emb = embed_entities(nodes).localCheckpoint(eager=True)
         res = canonicalize(nodes, edges, mentions, emb)
         # the RESULT frames are lazy views over the broadcast-map rewrite;
         # every downstream action (community CC probe, dense ids, rank, the
-        # intra-edge joins) would re-run that rewrite per action. One eager
-        # checkpoint of the frames the memo consumers actually reuse
-        # collapses ~6 recomputations to 1 — the production analogue is the
-        # materialized canonical_edges stage table (plans/build.py).
-        return res._replace(
-            nodes=res.nodes.localCheckpoint(eager=True),
-            edges=res.edges.localCheckpoint(eager=True),
-            mentions=res.mentions.localCheckpoint(eager=True),
-        )
+        # intra-edge joins) would re-run the EDGE rewrite per action. One
+        # eager checkpoint of res.edges collapses ~6 recomputations to 1 —
+        # the production analogue is the materialized canonical_edges stage
+        # table (plans/build.py). nodes/mentions stay lazy: each has a
+        # single cheap consumer, and checkpointing them would bill two more
+        # full rewrite passes to whichever query builds this memo.
+        return res._replace(edges=res.edges.localCheckpoint(eager=True))
 
     return _memo(spark, f"sf_canonical:{sf_dir}", make)
 
