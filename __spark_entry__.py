@@ -157,10 +157,7 @@ def _raw_results(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: canonicalized triple table from the sf0.001 documents."""
-    results = _raw_results(spark, SF_DEFAULT)
-    nodes, edges, mentions = build_graph_tables(results)
-    emb = embed_entities(nodes)
-    res = canonicalize(nodes, edges, mentions, emb)
+    res = _sf_canonical(spark, SF_DEFAULT)
     return res.edges.select("subj", "pred", "obj", "weight", "support")
 
 
@@ -191,22 +188,43 @@ def _q_kg_entity_degree(spark, sf_dir):
 
 
 def _q_kg_mention_counts(spark, sf_dir):
-    _, _, mentions = build_graph_tables(_raw_results(spark, sf_dir))
+    _, _, mentions = _sf_graph_tables(spark, sf_dir)
     return mentions.groupBy("entity_id").agg(
         F.countDistinct("chunk_id").alias("n_chunks")
     )
 
 
-def _sf_canonical(spark, sf_dir):
+def _sf_graph_tables(spark, sf_dir):
+    """Raw (pre-canonicalization) nodes/edges/mentions, node+edge frames
+    checkpointed once per session — shared by the canonical chain and the
+    entity-linking queries."""
     def make():
         nodes, edges, mentions = build_graph_tables(_raw_results(spark, sf_dir))
-        nodes = nodes.localCheckpoint(eager=True)
-        edges = edges.localCheckpoint(eager=True)
-        # embeddings materialized ONCE: canonicalize's fit probe is a count
-        # and the driver path collects afterwards — uncached, each action
-        # would re-run the embedding UDF (the production plan materializes
-        # the embeddings stage table for the same reason, plans/build.py)
-        emb = embed_entities(nodes).localCheckpoint(eager=True)
+        return (
+            nodes.localCheckpoint(eager=True),
+            edges.localCheckpoint(eager=True),
+            mentions,
+        )
+
+    return _memo(spark, f"graph_tables:{sf_dir}", make)
+
+
+def _sf_entity_embeddings(spark, sf_dir):
+    """Raw-entity embeddings materialized ONCE: canonicalize's fit probe is
+    a count and the driver path collects afterwards — uncached, each action
+    would re-run the embedding UDF (the production plan materializes the
+    embeddings stage table for the same reason, plans/build.py)."""
+    def make():
+        nodes, _, _ = _sf_graph_tables(spark, sf_dir)
+        return embed_entities(nodes).localCheckpoint(eager=True)
+
+    return _memo(spark, f"entity_embeddings:{sf_dir}", make)
+
+
+def _sf_canonical(spark, sf_dir):
+    def make():
+        nodes, edges, mentions = _sf_graph_tables(spark, sf_dir)
+        emb = _sf_entity_embeddings(spark, sf_dir)
         res = canonicalize(nodes, edges, mentions, emb)
         # the RESULT frames are lazy views over the broadcast-map rewrite;
         # every downstream action (community CC probe, dense ids, rank, the
@@ -283,7 +301,7 @@ def _q_top_chunks_for_seeds(spark, sf_dir):
     ids are not reproducible in DuckDB 1.0)."""
     chunks = _sf_chunks(spark, sf_dir)
     results = _raw_results(spark, sf_dir)
-    _, _, mentions = build_graph_tables(results)
+    _, _, mentions = _sf_graph_tables(spark, sf_dir)
     triples = parse_relationships(results).select("subj", "pred", "obj").distinct()
     degree = (
         triples.select(F.col("subj").alias("entity_id"))
@@ -313,7 +331,7 @@ def _q_consistency_report(spark, sf_dir):
     from graph_rag_agent_spark.operators.consistency import validation_report
 
     chunks = _sf_chunks(spark, sf_dir)
-    nodes, edges, mentions = build_graph_tables(_raw_results(spark, sf_dir))
+    nodes, edges, mentions = _sf_graph_tables(spark, sf_dir)
     return validation_report(nodes, edges, mentions, chunks)
 
 
@@ -341,8 +359,8 @@ def _q_link_mention(spark, sf_dir):
     oracle-check the rerank stage, not just recall."""
     from graph_rag_agent_spark.operators.entity_linking import link_mention
 
-    nodes, _, _ = build_graph_tables(_raw_results(spark, sf_dir))
-    emb = embed_entities(nodes)
+    nodes, _, _ = _sf_graph_tables(spark, sf_dir)
+    emb = _sf_entity_embeddings(spark, sf_dir)
     return link_mention(nodes, emb, "tables")
 
 

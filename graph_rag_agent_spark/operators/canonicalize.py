@@ -44,6 +44,7 @@ from graph_rag_agent_spark.config import (
     WORD_EDIT_DISTANCE,
 )
 from graph_rag_agent_spark.functions.blocking import BLOCK_PREFIX_LEN
+from graph_rag_agent_spark.functions.iterative import loop_checkpoint
 from graph_rag_agent_spark.functions.canonical_kernel import (
     compose_maps,
     disambig_map_of,
@@ -408,8 +409,8 @@ def canonicalize(
             max_edit_distance, adjudicator, resolver,
         )
 
-    similar = similar_edges(embeddings, cutoff=cutoff, topk=topk).localCheckpoint(eager=True)
-    labels = wcc_labels(embeddings, similar).localCheckpoint(eager=True)
+    similar = similar_edges(embeddings, cutoff=cutoff, topk=topk).transform(loop_checkpoint)
+    labels = wcc_labels(embeddings, similar).transform(loop_checkpoint)
 
     # phase M: edit-distance duplicate groups within wcc → merge rep (D5:
     # min id, or one adjudicator call per group)
@@ -431,7 +432,7 @@ def canonicalize(
         merge_map = groups.groupBy("group_id").applyInPandas(
             per_group, schema="entity_id string, canonical_id string"
         )
-    merge_map = merge_map.localCheckpoint(eager=True)
+    merge_map = merge_map.transform(loop_checkpoint)
 
     # phase A degrees: distinct triples after the (lazy) phase-M mapping
     bmerge = F.broadcast(merge_map)
@@ -449,7 +450,7 @@ def canonicalize(
     surviving_labels = labels.join(bmerge, on="entity_id", how="left_anti")
     disambig_map = disambiguation_map(
         surviving_labels, edges_m, resolver=resolver
-    ).localCheckpoint(eager=True)
+    ).transform(loop_checkpoint)
 
     # combined map: entity →(M)→ group rep →(A)→ canonical
     dis_renamed = disambig_map.select(
@@ -465,7 +466,7 @@ def canonicalize(
             "entity_id", F.coalesce("_final", "canonical_id").alias("canonical_id")
         )
     )
-    combined_map = chained.unionByName(disambig_map).localCheckpoint(eager=True)
+    combined_map = chained.unionByName(disambig_map).transform(loop_checkpoint)
 
     nodes2, edges2, mentions2 = apply_canonical_map(nodes, edges, mentions, combined_map)
 

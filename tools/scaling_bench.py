@@ -106,22 +106,31 @@ def main():
     # interleave N / 4N reps as back-to-back pairs: the sandbox host drifts
     # (1.5-2x wall variance across minutes), and pairing cancels the drift
     # that sequential blocks of reps would absorb asymmetrically
-    report = {"n_docs": n_docs, "repeats": repeats}
+    # base level N is env-tunable: the north rule says "two cluster sizes
+    # (N and 4N)" and the driver instruction explicitly allows any two
+    # parallelism levels. N=8→32 rides straight into this host's all-core
+    # turbo/power limit (host_ceiling 8→32 ≈ 2.5-2.8×), which REAL
+    # multi-machine executors don't share a heatsink for; N=4→16 measures
+    # the same algorithmic scaling under a less confounded ceiling
+    # (host_ceiling 4→16 ≈ 3.0×). Both records are kept in BENCH.md.
+    base_n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "8"))
+    m_n, m_4n = f"local[{base_n}]", f"local[{4 * base_n}]"
+    report = {"n_docs": n_docs, "repeats": repeats, "base_n": base_n}
     t8s, t32s, ratios, triples = [], [], [], 0
     for _ in range(repeats):
-        t8, triples = run_once("local[8]", path)
-        t32, _ = run_once("local[32]", path)
+        t8, triples = run_once(m_n, path)
+        t32, _ = run_once(m_4n, path)
         t8s.append(t8)
         t32s.append(t32)
         ratios.append(t8 / t32)
     med8, med32 = statistics.median(t8s), statistics.median(t32s)
-    report["N(local[8])"] = {
+    report[f"N({m_n})"] = {
         "median_sec": round(med8, 2),
         "all_sec": [round(t, 2) for t in t8s],
         "triples": triples,
         "triples_per_sec": round(triples / med8, 2),
     }
-    report["4N(local[32])"] = {
+    report[f"4N({m_4n})"] = {
         "median_sec": round(med32, 2),
         "all_sec": [round(t, 2) for t in t32s],
         "triples": triples,
