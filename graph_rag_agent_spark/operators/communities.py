@@ -166,7 +166,7 @@ def modularity_local_move(
     Scale shape: per sweep one groupBy(label) for community totals, one
     edge-list join + groupBy for neighbor-community weights, one window
     for the argmax — all on high-cardinality keys; per-iteration
-    localCheckpoint cuts the lineage. Quality is gated in pytest at ≥ 0.9×
+    localCheckpoint cuts the lineage. Quality is gated in pytest at ≥ 0.95×
     the exact kernel's modularity on fixtures."""
     sym = (
         wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")

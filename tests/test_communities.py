@@ -271,6 +271,41 @@ def test_refinement_splits_badly_connected_community(spark):
     assert not (q0 | q1) & z             # no community crosses groups
 
 
+def test_refined_communities_internally_connected(spark):
+    """γ-connectivity property of the refinement phase: every non-stay
+    candidate a node may join has w_in > 0 (neighbor communities only), so
+    communities grown from singletons are internally CONNECTED — the
+    guarantee gds.leiden's refinement provides and plain local-move lacks.
+    Verified by BFS over every refined community on a ring of cliques all
+    forced into one constraint group."""
+    from graph_rag_agent_spark.operators.communities import modularity_local_move
+
+    nodes_l, rows = _ring_of_cliques(n_cliques=5, size=4)
+    verts = spark.createDataFrame([(v,) for v in nodes_l], "id string")
+    wp = weighted_projection(_edges(spark, rows)).localCheckpoint(eager=True)
+    grp = spark.createDataFrame(
+        [(v, "ALL") for v in nodes_l], "id string, label string"
+    )
+    refined = modularity_local_move(verts, wp, constraint_labels=grp)
+    members: dict = {}
+    for r in refined.collect():
+        members.setdefault(r.label, set()).add(r.id)
+    adj: dict = {}
+    for r in wp.collect():
+        adj.setdefault(r.s, set()).add(r.d)
+        adj.setdefault(r.d, set()).add(r.s)
+    assert len(members) >= 2  # something assembled beyond one blob
+    for label, ms in members.items():
+        seen, stack = set(), [next(iter(ms))]
+        while stack:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            stack.extend(adj.get(v, set()) & ms)
+        assert seen == ms, f"community {label} is internally disconnected"
+
+
 def test_distributed_hierarchy_leiden_shape(spark):
     """Multi-level distributed path: level 0 recovers the cliques; level 1
     (on the refined-contracted graph, seeded with the unrefined partition)
