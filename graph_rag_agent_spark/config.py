@@ -28,6 +28,11 @@ COMPLETION_DELIMITER = "\n\n"
 BATCH_SEPARATOR = "\n" + "-" * 50 + "\n"   # entity_extractor.py:264
 EXTRACTION_BATCH_CAP = 100                 # settings.py BATCH_SIZE analogue
 EXTRACTION_BATCH_CHAR_BUDGET = 10_000      # dynamic batch = budget / avg_chunk_chars
+# GraphRAG-style gleaning: continuation passes re-prompting the extractor for
+# entities missed on the first pass (microsoft/graphrag defaults to 1). Runs
+# only for extractors exposing a ``glean(text, prior)`` method — the
+# deterministic extractors are single-pass-complete, so this is inert for them.
+MAX_GLEANINGS = 1
 
 # placeholder type for relationship endpoints never declared as entities
 # (reference graph_writer.py:81,94 uses "未知")
@@ -90,6 +95,7 @@ class PipelineConfig:
     similarity_cutoff: float = SIMILARITY_CUTOFF
     similarity_topk: int = SIMILARITY_TOPK
     word_edit_distance: int = WORD_EDIT_DISTANCE
+    max_gleanings: int = MAX_GLEANINGS
     community_max_levels: int = COMMUNITY_MAX_LEVELS
     community_max_iter: int = COMMUNITY_MAX_ITER
     entity_types: tuple = field(default=ENTITY_TYPES)

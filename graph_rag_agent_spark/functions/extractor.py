@@ -15,6 +15,7 @@ per-chunk repair pass (entity_extractor.py:282-293).
 
 from __future__ import annotations
 
+import math
 import re
 from typing import Callable, List
 
@@ -22,6 +23,7 @@ from graph_rag_agent_spark.config import (
     BATCH_SEPARATOR,
     EXTRACTION_BATCH_CAP,
     EXTRACTION_BATCH_CHAR_BUDGET,
+    RECORD_DELIMITER,
 )
 from graph_rag_agent_spark.functions.wire_format import (
     emit_entity,
@@ -194,6 +196,116 @@ def extract_batch(texts: List[str], extractor: Extractor) -> List[str]:
         except Exception:
             out.append("")
     return out
+
+
+def merge_wire_results(parts: List[str]) -> str:
+    """Merge wire-format results from successive passes: concatenate records,
+    dropping exact duplicates while preserving first-seen order (downstream
+    parsing is first-wins per entity, so order stability matters)."""
+    seen: set = set()
+    records: List[str] = []
+    for part in parts:
+        for rec in (part or "").split(RECORD_DELIMITER):
+            rec = rec.strip()
+            if rec and rec not in seen:
+                seen.add(rec)
+                records.append(rec)
+    return join_records(records)
+
+
+def extract_with_gleanings(text: str, first: str, extractor: Extractor,
+                           max_gleanings: int) -> str:
+    """GraphRAG-style gleaning loop over ONE chunk (public semantics:
+    microsoft/graphrag graph_extractor — after the initial extraction, the
+    model is re-prompted up to ``max_gleanings`` times with its prior output
+    and asked to add missed records; between passes a yes/no judgment decides
+    whether to continue).
+
+    ``first`` is the initial pass's wire result (already produced by the
+    batched call). Continuation passes use the extractor's optional protocol:
+
+    - ``glean(text, prior_wire) -> wire`` — the continuation call; required
+      for gleaning (plain callables skip the loop entirely);
+    - ``needs_more(text, prior_wire) -> bool`` — the loop judgment; optional
+      (absent → keep gleaning until the pass budget or an empty result).
+
+    Gleaning degrades per chunk like the repair pass: an exception in a
+    continuation keeps the best-so-far result instead of failing the task.
+    """
+    glean = getattr(extractor, "glean", None)
+    out = first
+    if glean is None or max_gleanings <= 0:
+        return out
+    needs_more = getattr(extractor, "needs_more", None)
+    for i in range(max_gleanings):
+        try:
+            more = glean(text, out)
+        except Exception:
+            break
+        if not (more and more.strip()):
+            break
+        out = merge_wire_results([out, more])
+        if needs_more is not None and i < max_gleanings - 1:
+            try:
+                if not needs_more(text, out):
+                    break
+            except Exception:
+                break
+    return out
+
+
+def apply_gleanings(texts: List[str], firsts: List[str], extractor: Extractor,
+                    max_gleanings: int) -> List[str]:
+    """Vector form of the gleaning loop over one micro-batch. No-op (returns
+    ``firsts`` unchanged) when the extractor has no ``glean`` method."""
+    if max_gleanings <= 0 or getattr(extractor, "glean", None) is None:
+        return firsts
+    return [
+        extract_with_gleanings(t, f, extractor, max_gleanings)
+        for t, f in zip(texts, firsts)
+    ]
+
+
+class TruncatingGleaningExtractor:
+    """Deterministic model of an imperfect first LLM pass, for tests.
+
+    ``__call__`` returns only the first ``ceil(fraction * n)`` of the base
+    extractor's wire records (the \"missed entities\" failure mode gleaning
+    exists to fix); ``glean`` returns up to ``per_pass`` records absent from
+    the prior output; ``needs_more`` reports whether any remain. With enough
+    passes, gleaning provably reconverges to the base extractor's output.
+    """
+
+    def __init__(self, base: Extractor = None, fraction: float = 0.5,
+                 per_pass: int = 1_000_000):
+        self.base = base or DeterministicCodeExtractor()
+        self.fraction = fraction
+        self.per_pass = per_pass
+        self.calls = {"first": 0, "glean": 0, "needs_more": 0}
+
+    def _records(self, text: str) -> List[str]:
+        full = self.base(text)
+        return [r for r in full.split(RECORD_DELIMITER) if r.strip()]
+
+    def __call__(self, text: str) -> str:
+        self.calls["first"] += 1
+        recs = self._records(text)
+        if not recs:
+            return ""
+        keep = max(1, math.ceil(len(recs) * max(min(self.fraction, 1.0), 0.0)))
+        return join_records(recs[:keep])
+
+    def _missing(self, text: str, prior: str) -> List[str]:
+        have = {r.strip() for r in (prior or "").split(RECORD_DELIMITER)}
+        return [r for r in self._records(text) if r not in have]
+
+    def glean(self, text: str, prior: str) -> str:
+        self.calls["glean"] += 1
+        return join_records(self._missing(text, prior)[: self.per_pass])
+
+    def needs_more(self, text: str, prior: str) -> bool:
+        self.calls["needs_more"] += 1
+        return bool(self._missing(text, prior))
 
 
 def _extract_joined(batch_text: str, extractor: Extractor) -> str:

@@ -26,9 +26,11 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from graph_rag_agent_spark.config import MAX_GLEANINGS
 from graph_rag_agent_spark.functions.extractor import (
     DeterministicCodeExtractor,
     Extractor,
+    apply_gleanings,
     dynamic_batch_size,
     extract_batch,
 )
@@ -40,13 +42,21 @@ def extract_chunks(
     chunks: DataFrame,
     extractor: Optional[Extractor] = None,
     cache: Optional[DataFrame] = None,
+    max_gleanings: Optional[int] = None,
 ) -> DataFrame:
     """chunks → (chunk_id, raw_result); one row per distinct chunk text.
 
     `cache` is an existing extraction_cache(chunk_sha1, raw_result) table;
     hits skip the extractor entirely (reference cache pre-check E3).
+
+    `max_gleanings` bounds GraphRAG-style continuation passes for extractors
+    exposing ``glean(text, prior)``; the passes run inside the same Arrow
+    batch task (no extra shuffle or job), and cached results are final —
+    gleaning happened before the row was cached.
     """
     extractor = extractor or DeterministicCodeExtractor()
+    if max_gleanings is None:
+        max_gleanings = MAX_GLEANINGS
     selected = chunks.select("chunk_id", "text")
 
     if cache is not None:
@@ -84,7 +94,11 @@ def extract_chunks(
             if texts:
                 bsz = dynamic_batch_size([len(t) for t in texts])
                 for i in range(0, len(texts), bsz):
-                    results.extend(extract_batch(texts[i : i + bsz], extractor))
+                    batch = texts[i : i + bsz]
+                    firsts = extract_batch(batch, extractor)
+                    results.extend(
+                        apply_gleanings(batch, firsts, extractor, max_gleanings)
+                    )
             yield pd.DataFrame({"chunk_id": ids, "raw_result": results})
 
     # AQE sizes partitions by shuffle BYTES, but extraction cost is per-row

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from graph_rag_agent_spark.config import (
+    MAX_GLEANINGS,
     SIMILARITY_CUTOFF,
     SIMILARITY_TOPK,
     UNKNOWN_ENTITY_DESCRIPTION,
@@ -38,7 +39,10 @@ from graph_rag_agent_spark.functions.canonical_kernel import (
 )
 from graph_rag_agent_spark.functions.chunking import chunk_records
 from graph_rag_agent_spark.functions.embedder import embed_text
-from graph_rag_agent_spark.functions.extractor import DeterministicCodeExtractor
+from graph_rag_agent_spark.functions.extractor import (
+    DeterministicCodeExtractor,
+    extract_with_gleanings,
+)
 from graph_rag_agent_spark.functions.similarity_kernel import pairs_all
 from graph_rag_agent_spark.functions.wire_format import (
     parse_entities,
@@ -62,6 +66,7 @@ def build_reference_graph(
     cutoff: float = SIMILARITY_CUTOFF,
     topk: int = SIMILARITY_TOPK,
     max_edit_distance: int = WORD_EDIT_DISTANCE,
+    max_gleanings: int = MAX_GLEANINGS,
 ) -> OracleGraph:
     """corpus(repo, path, commit, lang, content) → fully canonicalized graph."""
     extractor = extractor or DeterministicCodeExtractor()
@@ -79,7 +84,9 @@ def build_reference_graph(
             if rec.chunk_id in extraction_cache:
                 raw = extraction_cache[rec.chunk_id]
             else:
-                raw = extractor(rec.text)
+                raw = extract_with_gleanings(
+                    rec.text, extractor(rec.text), extractor, max_gleanings
+                )
                 extraction_cache[rec.chunk_id] = raw
             chunk_entities = set()
 

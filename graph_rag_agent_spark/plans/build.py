@@ -65,7 +65,9 @@ def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     # after the all-core extraction burn crawls (BENCH.md), so the
     # post-burn phase must be as few and as cheap jobs as possible.
     chunks = chunk_documents(corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length)
-    results = extract_chunks(chunks, extractor=extractor)
+    results = extract_chunks(
+        chunks, extractor=extractor, max_gleanings=cfg.max_gleanings
+    )
     records = parse_records(results).localCheckpoint(eager=True)
     occurrences = occurrences_from_records(records)
     # edges derive lazily from the checkpointed records (cheap codegen'd
@@ -164,7 +166,10 @@ class BuildPipeline:
 
         t0 = time.time()
         cache = cat.read("extraction_cache") if cat.exists("extraction_cache") else None
-        results = extract_chunks(chunks, extractor=self.extractor, cache=cache)
+        results = extract_chunks(
+            chunks, extractor=self.extractor, cache=cache,
+            max_gleanings=cfg.max_gleanings,
+        )
         if cache is not None:
             # materialize before overwriting the parquet we are lazily reading
             results = results.localCheckpoint(eager=True)

@@ -89,7 +89,10 @@ class IncrementalUpdatePipeline:
             changed_corpus, cfg.chunk_size, cfg.overlap, cfg.max_text_length
         )
         cache = cat.read("extraction_cache") if cat.exists("extraction_cache") else None
-        new_results = extract_chunks(new_chunks, extractor=self.extractor, cache=cache)
+        new_results = extract_chunks(
+            new_chunks, extractor=self.extractor, cache=cache,
+            max_gleanings=cfg.max_gleanings,
+        )
         # chunks whose text (= chunk_id) already exists in surviving docs are
         # already materialized — only genuinely fresh chunk ids contribute
         # new graph rows (keeps incremental ≡ full rebuild, no double rows)

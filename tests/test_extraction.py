@@ -190,3 +190,78 @@ def test_poisoned_chunk_degrades_per_row(spark, tiny_corpus):
     assert len(empties) >= 1  # the poisoned chunk degraded
     assert len(nonempty) >= n_distinct - len(empties)
     assert any(parse_entities(r.raw_result) for r in nonempty)
+
+
+# ---- gleaning passes (GraphRAG-style continuation; north-star E-family) ----
+
+def test_gleaning_reconverges_to_base_output():
+    """An imperfect first pass (half the records) plus gleaning passes must
+    reproduce the single-pass extractor's full record set, order-stable."""
+    from graph_rag_agent_spark.functions.extractor import (
+        TruncatingGleaningExtractor,
+        extract_with_gleanings,
+    )
+
+    base = DeterministicCodeExtractor()
+    ext = TruncatingGleaningExtractor(base, fraction=0.5)
+    first = ext(SAMPLE)
+    full = base(SAMPLE)
+    assert first != full and full.startswith(first)  # strict prefix subset
+    healed = extract_with_gleanings(SAMPLE, first, ext, max_gleanings=3)
+    assert healed == full
+
+
+def test_gleaning_multi_pass_and_needs_more_stop():
+    """per_pass=2 forces several continuation calls; once complete,
+    needs_more halts the loop before the pass budget is spent."""
+    from graph_rag_agent_spark.functions.extractor import (
+        TruncatingGleaningExtractor,
+        extract_with_gleanings,
+    )
+
+    base = DeterministicCodeExtractor()
+    n_records = len(base(SAMPLE).split("\n"))
+    ext = TruncatingGleaningExtractor(base, fraction=0.25, per_pass=2)
+    healed = extract_with_gleanings(SAMPLE, ext(SAMPLE), ext, max_gleanings=50)
+    assert healed == base(SAMPLE)
+    # missing = ceil(0.75 * n) records, drained 2 per glean call
+    assert 2 <= ext.calls["glean"] <= (n_records + 1) // 2 + 1
+    # needs_more consulted between passes, and the loop stopped early (well
+    # under the 50-pass budget)
+    assert ext.calls["needs_more"] >= 1
+    assert ext.calls["glean"] < 50
+
+
+def test_gleaning_noop_for_plain_callables():
+    from graph_rag_agent_spark.functions.extractor import extract_with_gleanings
+
+    base = DeterministicCodeExtractor()
+    assert extract_with_gleanings(SAMPLE, base(SAMPLE), base, 5) == base(SAMPLE)
+
+
+def test_extract_chunks_applies_gleanings(spark):
+    """End-to-end: the Spark extraction stage with a truncating extractor and
+    gleaning enabled matches the complete extractor bit-for-bit; with
+    gleaning disabled the records are a strict subset."""
+    from graph_rag_agent_spark.functions.extractor import (
+        TruncatingGleaningExtractor,
+    )
+
+    corpus = spark.createDataFrame(
+        [("r", "a.py", "c1", "python", SAMPLE)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    chunks = chunk_documents(corpus, 300, 50, 10_000)
+
+    def results_of(extractor, max_gleanings):
+        rows = extract_chunks(
+            chunks, extractor=extractor, max_gleanings=max_gleanings
+        ).collect()
+        return {r.chunk_id: r.raw_result for r in rows}
+
+    complete = results_of(DeterministicCodeExtractor(), 0)
+    healed = results_of(TruncatingGleaningExtractor(fraction=0.5), 3)
+    truncated = results_of(TruncatingGleaningExtractor(fraction=0.5), 0)
+    assert healed == complete
+    assert truncated != complete
+    assert all(complete[k].startswith(v) for k, v in truncated.items())
