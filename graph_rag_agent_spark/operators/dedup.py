@@ -75,6 +75,15 @@ def ngram_jaccard_pairs(
     verify exact jaccard (array_intersect/array_union, JVM-side) and the
     same-block constraints (block_cols + length(text)//length_bucket).
 
+    Candidates are further pruned by PPJoin's lossless filters (Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):
+    the size filter (J ≥ t ⇒ t·|A| ≤ |B| ≤ |A|/t) and the positional
+    filter — at the globally-first shared prefix token, matched at ranks
+    (i, j), true overlap ≤ 1 + min(|A|−i, |B|−j), which must reach the
+    required overlap α = t/(1+t)·(|A|+|B|); a qualifying pair always
+    survives via its first-match row (earlier shared tokens would
+    themselves be prefix matches), so per-row pruning is exact.
+
     Scale shape: one groupBy on token (doc frequency), one window by doc id
     (prefix rank), one join on prefix tokens, two id-keyed verify joins —
     every key high-cardinality; a 10⁶-doc same-length block costs
@@ -93,11 +102,24 @@ def ngram_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(w_rank))
         .withColumn("_sz", F.count("*").over(Window.partitionBy("id")))
         .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select("id", *block_cols, "_lb", "w")
+        .select("id", *block_cols, "_lb", "w", "_rn", "_sz")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     on = [F.col("a.w") == F.col("b.w"), F.col("a.id") < F.col("b.id"), F.col("a._lb") == F.col("b._lb")]
     on += [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    # PPJoin size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
+    on += [
+        F.col("a._sz") * threshold <= F.col("b._sz"),
+        F.col("b._sz") * threshold <= F.col("a._sz"),
+    ]
+    # PPJoin positional filter: overlap upper bound at this match position
+    # must reach α = t/(1+t)·(|A|+|B|); real-valued RHS (≤ ceil) stays safe
+    on += [
+        1 + F.least(
+            F.col("a._sz") - F.col("a._rn"), F.col("b._sz") - F.col("b._rn")
+        )
+        >= (threshold / (1.0 + threshold)) * (F.col("a._sz") + F.col("b._sz"))
+    ]
     cands = (
         a.join(b, on=on)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
