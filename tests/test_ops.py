@@ -504,3 +504,43 @@ def test_dense_ids_edges_cases(spark):
     df = spark.createDataFrame([(k,) for k in shuffled], "component string")
     got = {r.component: r.wcc for r in dense_ids(df, "component", "wcc").collect()}
     assert got == {k: i for i, k in enumerate(keys)}
+
+
+def test_jaccard_ppjoin_filters_are_lossless(spark):
+    """Randomized brute-force equivalence: the prefix + PPJoin size +
+    positional filters must not drop any qualifying pair nor admit a false
+    one, across thresholds and variable doc sizes (which is what the size /
+    positional filters key on)."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(80):
+        n = rng.randint(3, 20)
+        words = rng.sample(vocab, n)
+        rows.append((i, " ".join(words), rng.choice(["en", "de"])))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def brute(threshold):
+        out = {}
+        for ia, ta, la in rows:
+            for ib, tb, lb in rows:
+                # the operator pairs by STRING id order (ids are cast to
+                # string), so "11" < "5" — mirror that here
+                if ia == ib or str(ia) >= str(ib) or la != lb:
+                    continue
+                if int(len(ta) / 100) != int(len(tb) / 100):
+                    continue
+                wa, wb = set(ta.lower().split()), set(tb.lower().split())
+                j = len(wa & wb) / len(wa | wb)
+                if j >= threshold:
+                    out[(str(ia), str(ib))] = round(j, 9)
+        return out
+
+    for threshold in (0.5, 0.7, 0.8, 0.9):
+        got = {
+            (r.doc_a, r.doc_b): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
+        }
+        assert got == brute(threshold), f"mismatch at t={threshold}"
