@@ -32,6 +32,12 @@ from graph_rag_agent_spark.operators.parsing import (
     parse_entities,
     parse_relationships,
 )
+from graph_rag_agent_spark.operators.curation import (
+    pack_shards,
+    rate_to_hex_threshold,
+    shard_manifest,
+    stratified_sample,
+)
 from graph_rag_agent_spark.operators.similarity import cosine_col
 from graph_rag_agent_spark.operators.text_analysis import (
     LANG_MARKERS,
@@ -603,6 +609,31 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir))
 
 
+# mixing rates for the stratified-sample oracle row: two explicit strata,
+# one high-rate stratum, es/fr fall through to the default rate
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.75}
+_SAMPLE_DEFAULT = 0.1
+_SHARD_BUDGET = 2000  # tokens per training shard
+
+
+def _q_shard_manifest(spark, sf_dir):
+    packed = pack_shards(
+        _docs(spark, sf_dir), token_budget=_SHARD_BUDGET, part_cols=("lang",)
+    )
+    return shard_manifest(packed, part_cols=("lang",)).select(
+        "lang", "shard_id", "n_docs",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "first_doc", "last_doc",
+    )
+
+
+def _q_stratified_sample(spark, sf_dir):
+    return stratified_sample(
+        _docs(spark, sf_dir), rates=_SAMPLE_RATES, strata_col="lang",
+        id_col="doc_id", default_rate=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -686,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": _q_quality,
         "language_id": _q_langid,
         "fingerprints": _q_fingerprints,
+        "shard_manifest": _q_shard_manifest,
+        "stratified_sample": _q_stratified_sample,
         "tpch_q1": _q_tpch_q1,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "regional_revenue": _q_regional_revenue,
@@ -1377,6 +1410,32 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '\\s+', '', 'g'))::double
                          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS avg_token_len
             FROM documents""",
+        "shard_manifest": f"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            ), p AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) / {float(_SHARD_BUDGET)}) AS BIGINT) AS shard_id
+                FROM t
+            )
+            SELECT lang, shard_id, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM p GROUP BY lang, shard_id""",
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+                  CASE lang
+                      WHEN 'de' THEN '{rate_to_hex_threshold(0.25)}'
+                      WHEN 'en' THEN '{rate_to_hex_threshold(0.5)}'
+                      WHEN 'zh' THEN '{rate_to_hex_threshold(0.75)}'
+                      ELSE '{rate_to_hex_threshold(0.1)}'
+                  END""",
         "quality_scores": f"""
             WITH t AS (
                 SELECT doc_id, text,

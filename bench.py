@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "quality_scores",
     "language_id",
     "fingerprints",
+    "shard_manifest",
+    "stratified_sample",
     "tpch_q1",
     "top_orders_per_segment",
     "regional_revenue",

@@ -1,0 +1,114 @@
+"""Corpus curation operators for training-data pipelines: deterministic
+shard packing (token-budget binning) and hash-stratified sampling (data
+mixing). Both are pure Spark SQL expressions with exact DuckDB oracle
+equivalents in __spark_entry__.py.
+
+These complement the dedup/quality/language operators: after filtering, a
+pre-training pipeline (a) downsamples each stratum to its mixing weight and
+(b) packs the survivors into ~fixed-token shards for the trainer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+HASH_SPACE = 16 ** 8  # first 8 hex chars of md5
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Map a sampling rate in [0, 1] to an 8-hex-digit threshold such that
+    `substr(md5(id), 1, 8) < threshold` keeps ~rate of uniformly-hashed ids.
+    String comparison is lexicographic over lowercase hex in both Spark and
+    DuckDB, so the predicate is engine-exact."""
+    n = max(0, min(HASH_SPACE, int(rate * HASH_SPACE)))
+    return format(n, "08x")
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: Dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the first 8 hex
+    chars of md5(id) fall below the stratum's threshold. Unlike
+    `df.sampleBy`, the decision is a pure function of the id — reproducible
+    across runs, engines, partitionings, and cluster sizes, which is what a
+    training-data mixing step needs (re-running the pipeline must not
+    reshuffle the corpus membership).
+
+    Scale shape: a map-only filter — no shuffle, no RNG state; the md5 and
+    comparison stay in whole-stage codegen.
+    """
+    hashed = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    # build the CASE in deterministic (sorted) stratum order
+    expr = F.lit(rate_to_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items(), reverse=True):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_to_hex_threshold(rate))
+        ).otherwise(expr)
+    return docs.filter(hashed < expr)
+
+
+def pack_shards(
+    docs: DataFrame,
+    token_budget: int,
+    part_cols: Tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 0,
+) -> DataFrame:
+    """→ docs + (n_tokens, shard_id): assign documents to ~token_budget-sized
+    training shards, deterministically.
+
+    Documents are ordered by id within each `part_cols` group; shard_id =
+    floor(exclusive-prefix-sum(n_tokens) / token_budget) — the streaming
+    packing rule: shard boundaries sit at multiples of token_budget on the
+    group's cumulative-token line, so every shard except a group's last has
+    a token total within one neighboring document's tokens of token_budget
+    (budget − d_prev < total < budget + d_last).
+
+    Scale shape: one window sort per group. A bare `part_cols` group (e.g.
+    one language) serializes that language's corpus through one task — at
+    10⁹+ docs pass `n_buckets > 0` to add a deterministic md5 bucket to the
+    partition key, bounding any task at ~|group|/n_buckets rows; shards then
+    pack within (group, bucket), which preserves the budget guarantee per
+    shard while distributing the sort.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = docs.withColumn("n_tokens", F.size(toks))
+    keys = [F.col(c) for c in part_cols]
+    if n_buckets > 0:
+        out = out.withColumn(
+            "_bucket",
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % n_buckets,
+        )
+        keys.append(F.col("_bucket"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = out.withColumn(
+        "shard_id", F.floor(prev / F.lit(token_budget)).cast("long")
+    )
+    return out.drop("_bucket") if n_buckets > 0 else out
+
+
+def shard_manifest(packed: DataFrame, part_cols: Tuple[str, ...] = ("lang",)) -> DataFrame:
+    """→ one row per (part, shard_id): doc count + token total + id range —
+    the trainer-facing shard index (and the oracle-checkable rollup)."""
+    return (
+        packed.groupBy(*part_cols, "shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
