@@ -41,6 +41,16 @@ from graph_rag_agent_spark.operators.extraction import extract_chunks
 from graph_rag_agent_spark.sources.catalog import TableCatalog
 
 
+def salted_corpus_repartition(corpus: DataFrame, n_partitions: int) -> DataFrame:
+    """Hot-repo/lang skew salting: repartition by a hash of (repo, path) —
+    never by repo alone — so a repo holding half the corpus spreads across
+    all partitions (each file is its own key; 2¹⁶ salt buckets bound the
+    key space without losing balance at any practical partition count)."""
+    return corpus.repartition(
+        n_partitions, F.pmod(F.xxhash64("repo", "path"), F.lit(1 << 16))
+    )
+
+
 def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     """BuildPipeline's dataflow with localCheckpoint stage boundaries instead
     of catalog writes — the benchmarking path. Without stage
@@ -148,9 +158,8 @@ class BuildPipeline:
         cat, cfg = self.catalog, self.config
 
         t0 = time.time()
-        corpus = corpus.repartition(
-            int(self.spark.conf.get("spark.sql.shuffle.partitions")),
-            F.pmod(F.xxhash64("repo", "path"), F.lit(1 << 16)),
+        corpus = salted_corpus_repartition(
+            corpus, int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         )
         if not (resume and cat.exists("corpus")):
             self._save(corpus, "corpus", "corpus", t0)
