@@ -33,6 +33,7 @@ from graph_rag_agent_spark.operators.parsing import (
     parse_relationships,
 )
 from graph_rag_agent_spark.operators.curation import (
+    contamination_overlap,
     pack_shards,
     rate_to_hex_threshold,
     shard_manifest,
@@ -44,6 +45,7 @@ from graph_rag_agent_spark.operators.text_analysis import (
     fingerprints,
     language_id,
     quality_scores,
+    repetition_scores,
     token_counts,
 )
 
@@ -634,6 +636,24 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_repetition(spark, sf_dir):
+    return repetition_scores(_docs(spark, sf_dir))
+
+
+# contamination-check knobs: the benchmark slice is every 97th doc (a
+# deterministic stand-in for an eval set drawn from the same distribution);
+# trigram shingles, ≥2 shared to flag, df>50 shingles too common to count
+_CONTAM_MOD, _CONTAM_N, _CONTAM_MIN, _CONTAM_MAXDF = 97, 3, 2, 50
+
+
+def _q_contamination(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter((F.col("doc_id") % _CONTAM_MOD) == 0)
+    return contamination_overlap(
+        docs, bench, n=_CONTAM_N, min_shared=_CONTAM_MIN, max_df=_CONTAM_MAXDF
+    ).select("doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared"))
+
+
 def _q_tpch_q1(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -719,6 +739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "shard_manifest": _q_shard_manifest,
         "stratified_sample": _q_stratified_sample,
+        "repetition_scores": _q_repetition,
+        "contamination_overlap": _q_contamination,
         "tpch_q1": _q_tpch_q1,
         "top_orders_per_segment": _q_top_orders_per_segment,
         "regional_revenue": _q_regional_revenue,
@@ -1436,6 +1458,62 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'zh' THEN '{rate_to_hex_threshold(0.75)}'
                       ELSE '{rate_to_hex_threshold(0.1)}'
                   END""",
+        "repetition_scores": """
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, toks, len(toks) AS n,
+                       [toks[i] || ' ' || toks[i+1]
+                        for i in generate_series(1, len(toks)-1)] AS bi,
+                       [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        for i in generate_series(1, len(toks)-2)] AS tri
+                FROM t
+            ), topu AS (
+                SELECT doc_id, max(c) AS top FROM (
+                    SELECT doc_id, tok, count(*) AS c
+                    FROM (SELECT doc_id, unnest(toks) AS tok FROM g) GROUP BY 1, 2
+                ) GROUP BY 1
+            ), topb AS (
+                SELECT doc_id, max(c) AS top FROM (
+                    SELECT doc_id, bg, count(*) AS c
+                    FROM (SELECT doc_id, unnest(bi) AS bg FROM g) GROUP BY 1, 2
+                ) GROUP BY 1
+            )
+            SELECT g.doc_id,
+                   round(topu.top::double / g.n, 6) AS top_unigram_frac,
+                   CASE WHEN g.n - 1 > 0
+                        THEN round(topb.top::double / (g.n - 1), 6)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   CASE WHEN g.n - 2 > 0
+                        THEN round((g.n - 2 - len(list_distinct(tri)))::double / (g.n - 2), 6)
+                        ELSE 0.0 END AS dup_trigram_frac,
+                   (round(topu.top::double / g.n, 6) > 0.30 OR
+                    CASE WHEN g.n - 2 > 0
+                         THEN round((g.n - 2 - len(list_distinct(tri)))::double / (g.n - 2), 6)
+                         ELSE 0.0 END > 0.30) AS repetitive
+            FROM g JOIN topu USING (doc_id) JOIN topb USING (doc_id)""",
+        "contamination_overlap": f"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), sh AS (
+                SELECT doc_id, unnest(list_distinct(
+                    [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks)-2)]
+                )) AS shingle FROM t
+            ), rare AS (
+                SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= {_CONTAM_MAXDF}
+            ), c AS (
+                SELECT doc_id, shingle FROM sh JOIN rare USING (shingle)
+            ), b AS (
+                SELECT doc_id AS bench_id, shingle FROM sh
+                WHERE doc_id % {_CONTAM_MOD} = 0
+            )
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM c JOIN b USING (shingle)
+            WHERE c.doc_id <> b.bench_id
+            GROUP BY 1, 2 HAVING count(*) >= {_CONTAM_MIN}""",
         "quality_scores": f"""
             WITH t AS (
                 SELECT doc_id, text,

@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "fingerprints",
     "shard_manifest",
     "stratified_sample",
+    "repetition_scores",
+    "contamination_overlap",
     "tpch_q1",
     "top_orders_per_segment",
     "regional_revenue",

@@ -112,3 +112,62 @@ def shard_manifest(packed: DataFrame, part_cols: Tuple[str, ...] = ("lang",)) ->
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+def _distinct_shingles(docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str) -> DataFrame:
+    """→ (out_id, shingle): the DISTINCT n-token shingles of each document,
+    built row-local with zip_with over sliced token arrays (no explode until
+    the final per-shingle flattening, and dedup happens inside the row so
+    the exploded volume is bounded by distinct shingles, not positions)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    for i in range(1, n):
+        nxt = F.slice(toks, i + 1, F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+        sh = F.zip_with(sh, nxt, lambda a, b: F.concat(a, F.lit(" "), b))
+    return (
+        docs.select(F.col(id_col).alias(out_id), F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: → (doc_id, bench_id, n_shared) for
+    every (training doc, benchmark doc) pair sharing ≥ ``min_shared``
+    distinct n-token shingles (the standard eval-decontamination join used
+    before pre-training; cf. GPT-3 appendix C / Dolma's decontamination
+    pass).
+
+    Scale shape: one shuffle keyed on the shingle string joins the two
+    shingle sets; partial aggregation combines (doc, bench) pair counts
+    map-side. ``max_df`` drops shingles whose document frequency in the
+    TRAINING corpus exceeds the cap before the join — boilerplate shingles
+    ("all rights reserved …") otherwise fan out as df_corpus × df_bench
+    rows, which is the quadratic blow-up that kills this join at 100 TB.
+    The cap is part of the operator's contract (capped shingles are too
+    common to evidence contamination), mirrored exactly in the SQL oracle.
+    Self-pairs (a benchmark doc drawn from the corpus itself) are excluded.
+    """
+    c_sh = _distinct_shingles(corpus, n, text_col, id_col, "doc_id")
+    b_sh = _distinct_shingles(benchmark, n, text_col, id_col, "bench_id")
+    if max_df is not None:
+        rare = (
+            c_sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df)
+            .select("shingle")
+        )
+        c_sh = c_sh.join(rare, "shingle", "left_semi")
+    return (
+        c_sh.join(b_sh, "shingle")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -69,6 +69,78 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select("doc_id", pred.alias("pred_lang"))
 
 
+def _max_run_count(sorted_arr):
+    """Longest run of equal adjacent elements in a SORTED array — i.e. the
+    occurrence count of the most frequent element — computed row-local with
+    `F.aggregate` (no shuffle, no explode). O(n log n) per row regardless of
+    corpus size, so the operator's cost is bounded by document length, never
+    by corpus-wide key cardinality."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, t):
+        run = F.when(t.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, zero, step, lambda acc: acc["best"])
+
+
+def repetition_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+
+    - ``top_unigram_frac``: tokens covered by the single most frequent token;
+    - ``top_bigram_frac``: bigram positions covered by the most frequent
+      word bigram;
+    - ``dup_trigram_frac``: fraction of trigram positions whose trigram
+      occurs more than once in the document;
+    - ``repetitive``: the keep/drop flag (top-unigram > 0.30 or
+      dup-trigram > 0.30 — boilerplate / keyword-stuffed docs).
+
+    Scale shape: everything is computed inside the row via sorted-array run
+    counting (`_max_run_count`) and `array_distinct` — a map-only stage, no
+    explode, no (doc, ngram) shuffle, so a 100 TB corpus pays exactly one
+    scan. Per-doc cost is O(len · log len).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    sep = F.lit(" ")  # whitespace-split tokens make a space separator unambiguous
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, sep, b),
+    )
+    trigrams = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.zip_with(
+            F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+            lambda b, c: F.concat(b, sep, c),
+        ),
+        lambda a, bc: F.concat(a, sep, bc),
+    )
+    n_bi = F.greatest(n - 1, F.lit(0))
+    n_tri = F.greatest(n - 2, F.lit(0))
+    top_uni = F.round(_max_run_count(F.array_sort(toks)) / n, 6)
+    top_bi = F.when(n_bi > 0, F.round(_max_run_count(F.array_sort(bigrams)) / n_bi, 6)).otherwise(F.lit(0.0))
+    dup_tri = F.when(
+        n_tri > 0,
+        F.round((n_tri - F.size(F.array_distinct(trigrams))) / n_tri, 6),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        top_uni.alias("top_unigram_frac"),
+        top_bi.alias("top_bigram_frac"),
+        dup_tri.alias("dup_trigram_frac"),
+        ((top_uni > 0.30) | (dup_tri > 0.30)).alias("repetitive"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """→ (doc_id, fingerprint): md5 of the whitespace/case-normalized text —
     the canonical dedup fingerprint (stable across engines)."""

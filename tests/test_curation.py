@@ -83,3 +83,82 @@ def test_stratified_sample_no_shuffle_in_plan(spark, corpus):
     plan = stratified_sample(corpus, {"en": 0.5})._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan  # map-only filter
+
+
+class TestRepetitionScores:
+    def _scores(self, spark, rows):
+        from graph_rag_agent_spark.operators.text_analysis import repetition_scores
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r.doc_id: r for r in repetition_scores(df).collect()}
+
+    def test_known_fractions(self, spark):
+        s = self._scores(spark, [
+            (0, "a a a a b"),              # top unigram 'a' 4/5
+            (1, "x y x y x y"),            # bigram 'x y' 3/5, trigrams repeat
+            (2, "u v w"),                  # 1 trigram, nothing repeats
+        ])
+        assert s[0].top_unigram_frac == pytest.approx(0.8)
+        assert s[0].repetitive
+        assert s[1].top_bigram_frac == pytest.approx(3 / 5)
+        # trigrams of doc1: xyx yxy xyx yxy -> 4 positions, 2 distinct
+        assert s[1].dup_trigram_frac == pytest.approx(0.5)
+        assert s[1].repetitive
+        assert s[2].top_unigram_frac == pytest.approx(1 / 3)
+        assert s[2].top_bigram_frac == pytest.approx(0.5)
+        assert s[2].dup_trigram_frac == 0.0
+
+    def test_short_docs_no_nulls(self, spark):
+        s = self._scores(spark, [(0, "solo"), (1, "two words")])
+        assert s[0].top_unigram_frac == 1.0
+        assert s[0].top_bigram_frac == 0.0 and s[0].dup_trigram_frac == 0.0
+        assert s[1].top_bigram_frac == 1.0 and s[1].dup_trigram_frac == 0.0
+
+    def test_separator_disambiguates(self, spark):
+        # "ab c" vs "a bc" must be DIFFERENT bigrams (space-joined)
+        s = self._scores(spark, [(0, "ab c a bc")])
+        assert s[0].top_bigram_frac == pytest.approx(1 / 3)
+
+
+class TestContaminationOverlap:
+    def test_overlap_counts_and_self_exclusion(self, spark):
+        from graph_rag_agent_spark.operators.curation import contamination_overlap
+
+        docs = spark.createDataFrame(
+            [
+                (0, "the quick brown fox jumps over the lazy dog"),
+                (1, "a quick brown fox jumps over a fence today"),
+                (2, "completely different words entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = docs.filter(F.col("doc_id") == 0)
+        out = {
+            (r.doc_id, r.bench_id): r.n_shared
+            for r in contamination_overlap(docs, bench, n=3, min_shared=2).collect()
+        }
+        # doc1 shares trigrams "quick brown fox", "brown fox jumps",
+        # "fox jumps over" with doc0; doc0 itself is excluded
+        assert out == {(1, 0): 3}
+
+    def test_max_df_drops_boilerplate(self, spark):
+        from graph_rag_agent_spark.operators.curation import contamination_overlap
+
+        # every doc carries the same boilerplate trigram; only doc 1 shares
+        # a rare trigram with the benchmark doc
+        rows = [(i, f"all rights reserved unique{i} tail{i}") for i in range(10)]
+        rows[1] = (1, "all rights reserved secret eval answer")
+        rows.append((99, "benchmark prompt says secret eval answer"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = docs.filter(F.col("doc_id") == 99)
+        capped = contamination_overlap(docs, bench, n=3, min_shared=1, max_df=3)
+        assert {(r.doc_id, r.bench_id) for r in capped.collect()} == {(1, 99)}
+        # without the cap the boilerplate shingle would still not join (the
+        # bench doc lacks it) — but a bench doc CONTAINING boilerplate flags
+        # everything; prove the cap suppresses that explosion
+        bench2 = spark.createDataFrame(
+            [(100, "all rights reserved benchmark text")], "doc_id long, text string"
+        )
+        uncapped = contamination_overlap(docs, bench2, n=3, min_shared=1)
+        capped2 = contamination_overlap(docs, bench2, n=3, min_shared=1, max_df=3)
+        assert uncapped.count() == 10 and capped2.count() == 0

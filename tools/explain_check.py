@@ -108,6 +108,14 @@ def main():
     if "Exchange" in p8:
         failures.append("simhash_signatures: shuffle in the production path plan")
 
+    # 9. repetition signals are computed inside the row (sorted-array run
+    # counting) — no (doc, ngram) explode/shuffle may appear in the plan
+    p9 = plan_of(entry_mod.queries()["repetition_scores"](spark, sf))
+    if "Exchange" in p9:
+        failures.append("repetition_scores: shuffle in a map-only plan")
+    if "Generate" in p9:
+        failures.append("repetition_scores: explode leaked into the plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
