@@ -20,9 +20,11 @@ from graph_rag_agent_spark.functions.extractor import KeywordCooccurrenceExtract
 from graph_rag_agent_spark.operators.canonicalize import canonicalize
 from graph_rag_agent_spark.operators.chunker import chunk_documents
 from graph_rag_agent_spark.operators.dedup import (
+    dedup_groups,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    simhash_near_duplicates,
     simhash_signatures,
 )
 from graph_rag_agent_spark.operators.embeddings import embed_entities
@@ -636,6 +638,25 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_dedup_groups(spark, sf_dir):
+    return dedup_groups(_docs(spark, sf_dir))
+
+
+def _q_simhash_near_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    aug = docs.unionByName(
+        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionByName(
+        docs.select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        )
+    )
+    return simhash_near_duplicates(aug, max_hamming=3).select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 def _q_repetition(spark, sf_dir):
     return repetition_scores(_docs(spark, sf_dir))
 
@@ -728,7 +749,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_groups": _q_dedup_groups,
         "ann_topk": _q_ann_topk,
         "knn_per_label": _q_knn_per_label,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1068,16 +1091,18 @@ def _sllpa_oracle_sql() -> str:
         WHERE m.hits::double / t.total >= {_SLLPA_MIN_ASSOC}"""
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB twin of operators/dedup.minhash_lsh_pairs — the (a, b) hash
-    params are the same seed-42 draws, inlined as literals; all arithmetic
-    is exact int64 (31-bit Mersenne modulus, see dedup.py)."""
+def _minhash_cte_body() -> str:
+    """DuckDB twin of operators/dedup.minhash_lsh_pairs as a CTE chain
+    ending in `banded` — the (a, b) hash params are the same seed-42 draws,
+    inlined as literals; all arithmetic is exact int64 (31-bit Mersenne
+    modulus, see dedup.py). Shared by the pairs oracle and the
+    dedup-groups (transitive-closure) oracle."""
     from graph_rag_agent_spark.operators.dedup import _minhash_params
 
     ha, hb = _minhash_params(64, seed=42)
     rows = ", ".join(f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(ha, hb)))
     return f"""
-        WITH w AS (
+        w AS (
             SELECT doc_id::varchar AS id,
                    regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
             FROM documents
@@ -1099,16 +1124,44 @@ def _minhash_oracle_sql() -> str:
             SELECT id, md5((i // 4)::varchar || ':' ||
                            string_agg(m::varchar, ',' ORDER BY i)) AS band
             FROM mins GROUP BY id, i // 4
-        )
+        )"""
+
+
+def _minhash_oracle_sql() -> str:
+    return "WITH " + _minhash_cte_body() + """
         SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
         FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id"""
 
 
-_SIMHASH_ORACLE = r"""
+def _dedup_groups_oracle_sql() -> str:
+    """MinHash-LSH pairs closed transitively into duplicate groups:
+    group_id = min doc id reachable over candidate pairs (string order —
+    ids are varchar, mirroring the Spark operator), keep = representative.
+    Only docs appearing in ≥1 pair are emitted."""
+    return "WITH RECURSIVE " + _minhash_cte_body() + """
+        , cand AS (
+            SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+            FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+        ), und AS (
+            SELECT doc_a AS x, doc_b AS y FROM cand
+            UNION ALL SELECT doc_b AS x, doc_a AS y FROM cand
+        ), reach AS (
+            SELECT x AS id, x AS r FROM (SELECT DISTINCT x FROM und)
+            UNION
+            SELECT und.x AS id, reach.r FROM und JOIN reach ON und.y = reach.id
+        )
+        SELECT id AS doc_id, min(r) AS group_id, (id = min(r)) AS keep
+        FROM reach GROUP BY id"""
+
+
+def _simhash_oracle_body(src: str = "documents") -> str:
+    """The 64-bit md5-vote simhash as DuckDB SQL, parameterized by source
+    table so the near-dup-join oracle can reuse it over an augmented corpus."""
+    return r"""
     WITH words AS (
         SELECT doc_id::varchar AS id,
                unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS w
-        FROM documents
+        FROM """ + src + r"""
     ), hexes AS (
         SELECT id, substr(md5(w), 1, 16) AS hex FROM words
     ), bits AS (
@@ -1127,6 +1180,28 @@ _SIMHASH_ORACLE = r"""
                          ELSE (1::BIGINT << bit::int) END
                ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY id"""
+
+
+_SIMHASH_ORACLE = _simhash_oracle_body("documents")
+
+# near-dup-join fixture: the corpus plus an exact copy of every doc
+# (hamming 0 — guaranteed pairs through all 4 pigeonhole buckets) and a
+# one-word-appended copy (small, data-dependent hamming)
+_SIMHASH_AUG = """
+    aug AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 100000, text FROM documents
+        UNION ALL SELECT doc_id + 200000, text || ' zz' FROM documents
+    )"""
+
+_SIMHASH_NEAR_DUP_ORACLE = (
+    "WITH" + _SIMHASH_AUG + ", sigs AS (" + _simhash_oracle_body("aug").strip() + """
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::int AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1241,7 +1316,9 @@ def oracle_sql() -> dict[str, str]:
             FROM canon_triples WHERE subj <> obj
             GROUP BY least(subj, obj), greatest(subj, obj)""",
         "simhash_signatures": _SIMHASH_ORACLE,
+        "simhash_near_dups": _SIMHASH_NEAR_DUP_ORACLE,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
+        "dedup_groups": _dedup_groups_oracle_sql(),
         "sllpa_overlap": _sllpa_oracle_sql(),
         "kg_triples_raw": _PAIRS_CTE + "SELECT DISTINCT subj, pred, obj FROM pairs",
         "kg_entities": _WORDS_CTE

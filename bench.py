@@ -51,7 +51,9 @@ BENCH_QUERIES = [
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",
+    "simhash_near_dups",
     "minhash_lsh_pairs",
+    "dedup_groups",
     "ann_topk",
     "knn_per_label",
     "embedding_near_dups",

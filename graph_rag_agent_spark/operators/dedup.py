@@ -402,3 +402,45 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def dedup_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """→ (doc_id, group_id, keep): MinHash-LSH candidate pairs closed
+    transitively into duplicate groups — the actual corpus-dedup stage a
+    pre-training pipeline runs after pair generation (near-dup relations
+    are not transitive, so A~B, B~C must collapse into ONE group to pick
+    ONE survivor). group_id = min doc id in the group (STRING order — ids
+    pass through the LSH join as strings); keep marks the representative.
+    Docs in no candidate pair are not emitted (they all survive trivially).
+
+    Scale shape: the pair graph is orders of magnitude smaller than the
+    corpus; `connected_components` solves it driver-side under its
+    threshold and by pointer-doubling label propagation (log-diameter
+    rounds) above it — near-dup clusters are dense, so diameters are tiny
+    either way.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs, text_col=text_col, id_col=id_col, **lsh_kwargs)
+    from graph_rag_agent_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    verts = (
+        pairs.select(F.col("doc_a").alias("id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("id")))
+        .distinct()
+    )
+    labels = connected_components(
+        verts, pairs, vertex_col="id", src_col="doc_a", dst_col="doc_b"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("group_id"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

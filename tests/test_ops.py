@@ -544,3 +544,37 @@ def test_jaccard_ppjoin_filters_are_lossless(spark):
             for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
         }
         assert got == brute(threshold), f"mismatch at t={threshold}"
+
+
+def test_dedup_groups_transitive_closure(spark):
+    from graph_rag_agent_spark.operators.dedup import dedup_groups
+
+    # explicit pair graph: a chain 1-2-3 must collapse into ONE group even
+    # though (1,3) is not itself a candidate pair; ids group by STRING
+    # order ("102" < "2"), locking the documented representative rule
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("102", "2"), ("7", "8")],
+        "doc_a string, doc_b string",
+    )
+    docs = spark.range(0).selectExpr("cast(id as string) doc_id", "'x' text")
+    out = {r.doc_id: (r.group_id, r.keep) for r in dedup_groups(docs, pairs=pairs).collect()}
+    assert out == {
+        "1": ("1", True), "2": ("1", False), "3": ("1", False), "102": ("1", False),
+        "7": ("7", True), "8": ("7", False),
+    }
+
+
+def test_dedup_groups_from_lsh_pairs(spark):
+    from graph_rag_agent_spark.operators.dedup import dedup_groups
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, text), (4, "totally unrelated words here novel")],
+        "doc_id long, text string",
+    )
+    rows = dedup_groups(docs).collect()
+    # the three identical docs form one group with min id keeping; doc 4
+    # pairs with nobody and is not emitted (it survives trivially)
+    assert {r.doc_id for r in rows} == {"1", "2", "3"}
+    assert all(r.group_id == "1" for r in rows)
+    assert {r.doc_id for r in rows if r.keep} == {"1"}
