@@ -530,8 +530,19 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _lsh_pairs(spark, sf_dir):
+    """Memoized MinHash-LSH candidate pairs — shared by the pairs query and
+    the transitive-closure grouping (the production plan materializes the
+    pair table once, then both report and group over it)."""
+
+    def make():
+        return minhash_lsh_pairs(_docs(spark, sf_dir)).localCheckpoint(eager=True)
+
+    return _memo(spark, f"lsh_pairs:{sf_dir}", make)
+
+
 def _q_minhash_pairs(spark, sf_dir):
-    return minhash_lsh_pairs(_docs(spark, sf_dir))
+    return _lsh_pairs(spark, sf_dir)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -639,7 +650,7 @@ def _q_stratified_sample(spark, sf_dir):
 
 
 def _q_dedup_groups(spark, sf_dir):
-    return dedup_groups(_docs(spark, sf_dir))
+    return dedup_groups(_docs(spark, sf_dir), pairs=_lsh_pairs(spark, sf_dir))
 
 
 def _q_simhash_near_dups(spark, sf_dir):
