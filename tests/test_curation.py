@@ -162,3 +162,46 @@ class TestContaminationOverlap:
         uncapped = contamination_overlap(docs, bench2, n=3, min_shared=1)
         capped2 = contamination_overlap(docs, bench2, n=3, min_shared=1, max_df=3)
         assert uncapped.count() == 10 and capped2.count() == 0
+
+
+def test_redact_pii_scrub_and_counts(spark):
+    from graph_rag_agent_spark.operators.curation import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now or ping 192.168.1.7 "
+                "then call +44-20-7946-0958 twice: +44-20-7946-0958"),
+            (2, "no pii here, just words and numbers 42 7.5"),
+            (3, "user@host.io sits at user@10.0.0.5.example.com"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out[1].text == (
+        "mail <EMAIL> now or ping <IPV4> then call <PHONE> twice: <PHONE>"
+    )
+    assert (out[1].n_email, out[1].n_ipv4, out[1].n_phone) == (1, 1, 2)
+    assert out[2].text == "no pii here, just words and numbers 42 7.5"
+    assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+    # emails redact FIRST, so the ip-looking host inside the second address
+    # never surfaces as a bare IPv4
+    assert out[3].text == "<EMAIL> sits at <EMAIL>"
+    assert (out[3].n_email, out[3].n_ipv4) == (2, 0)
+
+
+def test_filter_blocked_sources_broadcast_anti(spark):
+    from graph_rag_agent_spark.operators.curation import filter_blocked_sources
+
+    docs = spark.createDataFrame(
+        [(1, "spam.example"), (2, "good.example"), (3, None), (4, "spam.example")],
+        "doc_id long, source string",
+    )
+    out = filter_blocked_sources(docs, ["spam.example", "unused.example"])
+    assert {r.doc_id for r in out.collect()} == {2, 3}  # NULL source survives
+    # the blocklist side must be the broadcast build side of an anti join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    # DataFrame-typed blocklist behaves identically
+    bl = spark.createDataFrame([("spam.example",)], "source string")
+    assert {r.doc_id for r in filter_blocked_sources(docs, bl).collect()} == {2, 3}
