@@ -652,6 +652,22 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def _q_graph_structure_report(spark, sf_dir):
+    """Reference GraphStructureQuality (density/connectivity/0.5-0.5
+    quality, graph_metrics.py:332-355) over the full canonical graph."""
+    from graph_rag_agent_spark.operators.graph_metrics import graph_structure_report
+
+    res = _sf_canonical(spark, sf_dir)
+    return graph_structure_report(res.nodes, res.edges)
+
+
+def _q_triangle_counts(spark, sf_dir):
+    from graph_rag_agent_spark.operators.graph_metrics import triangle_counts
+
+    res = _sf_canonical(spark, sf_dir)
+    return triangle_counts(res.edges)
+
+
 # the synthetic corpus carries no real PII, so the redaction query plants
 # deterministic PII (email + phone + IPv4 derived from doc_id) in BOTH
 # engines and checks the scrub + counts byte-for-byte
@@ -811,6 +827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "pii_redaction": _q_pii_redaction,
         "blocklist_filter": _q_blocklist_filter,
+        "graph_structure_report": _q_graph_structure_report,
+        "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
         "contamination_overlap": _q_contamination,
         "tpch_q1": _q_tpch_q1,
@@ -1584,6 +1602,63 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'zh' THEN '{rate_to_hex_threshold(0.75)}'
                       ELSE '{rate_to_hex_threshold(0.1)}'
                   END""",
+        "graph_structure_report": _CANON_CTE + """
+            , canon_nodes AS (
+                SELECT DISTINCT coalesce(c.canon, v.w) AS id
+                FROM vocab v LEFT JOIN cmap c ON c.e = v.w
+            ), upairs AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM canon_triples WHERE subj <> obj
+            ), agg AS (
+                SELECT (SELECT count(*) FROM canon_nodes) AS n_nodes,
+                       (SELECT count(*) FROM canon_triples) AS n_triples,
+                       (SELECT count(*) FROM upairs) AS n_edges,
+                       (SELECT count(*) FROM (
+                           SELECT a AS id FROM upairs UNION SELECT b FROM upairs
+                       )) AS n_touched
+            )
+            SELECT n_nodes, n_triples, n_edges,
+                   n_edges / (CASE WHEN n_nodes > 1
+                              THEN n_nodes * (n_nodes - 1) / 2.0
+                              ELSE 1.0 END) AS density,
+                   CASE WHEN n_nodes > 0 THEN n_touched / n_nodes::double
+                        ELSE 0.0 END AS connectivity,
+                   0.5 * (n_edges / (CASE WHEN n_nodes > 1
+                                     THEN n_nodes * (n_nodes - 1) / 2.0
+                                     ELSE 1.0 END))
+                   + 0.5 * (CASE WHEN n_nodes > 0
+                            THEN n_touched / n_nodes::double
+                            ELSE 0.0 END) AS quality
+            FROM agg""",
+        "triangle_counts": _CANON_CTE + """
+            , upairs AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM canon_triples WHERE subj <> obj
+            ), vdeg AS (
+                SELECT id, count(*) AS degree FROM (
+                    SELECT a AS id FROM upairs UNION ALL SELECT b FROM upairs
+                ) GROUP BY id
+            ), tri3 AS (
+                -- upairs rows have a < b, so chaining e1=(x,y), e2=(y,z),
+                -- e3=(x,z) enumerates each triangle exactly once (x<y<z)
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM upairs e1
+                JOIN upairs e2 ON e2.a = e1.b
+                JOIN upairs e3 ON e3.a = e1.a AND e3.b = e2.b
+            ), tcnt AS (
+                SELECT id, count(*) AS triangles FROM (
+                    SELECT x AS id FROM tri3
+                    UNION ALL SELECT y FROM tri3
+                    UNION ALL SELECT z FROM tri3
+                ) GROUP BY id
+            )
+            SELECT d.id AS entity_id, d.degree,
+                   coalesce(c.triangles, 0) AS triangles,
+                   CASE WHEN d.degree > 1
+                        THEN 2.0 * coalesce(c.triangles, 0)
+                             / (d.degree * (d.degree - 1))
+                        ELSE 0.0 END AS clustering
+            FROM vdeg d LEFT JOIN tcnt c ON c.id = d.id""",
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "global_search_map",
     "top_communities_for_seeds",
     "seed_relationships",
+    "graph_structure_report",
+    "triangle_counts",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

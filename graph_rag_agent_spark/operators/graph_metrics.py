@@ -1,15 +1,30 @@
-"""Graph-quality evaluation metrics.
+"""Graph-structure quality metrics over the canonical graph.
 
-Re-expression of the reference's evaluation framework graph metrics
-(evaluation/metrics/graph_metrics.py — EntityCoverageMetric:1009,
-RelationshipUtilizationMetric:1302, GraphCoverageMetric:635,
-SubgraphQualityMetric:242, CommunityRelevanceMetric:6) as deterministic
-DataFrame computations over the built tables; each returns a one-row
-DataFrame (metric, value) so reports compose with unionByName.
+Re-expresses the structural (non-LLM) half of the reference's evaluation
+metrics as distributed DataFrame plans:
 
-The reference scores retrieval results against an LLM answer; our build-time
-variants score the GRAPH itself — the same quantities its metrics derive
-(coverage ratios, utilization, density) computed over the whole graph.
+- `graph_structure_report` — GraphStructureQuality's density +
+  connectivity + 0.5/0.5 weighted quality score
+  (/root/reference/graphrag_agent/evaluation/metrics/graph_metrics.py:332-355:
+  density = |E| / (n(n-1)/2), connectivity = fraction of entities
+  participating in ≥1 relationship, quality = 0.5*density +
+  0.5*connectivity). Documented deviation: the reference divides the raw
+  relationship-instance count by max pairs (multi-edges can push its
+  density past 1.0); here density uses DISTINCT undirected pairs — the
+  standard simple-graph definition, bounded in [0, 1] — with the raw
+  triple count reported alongside as `n_triples`.
+- `triangle_counts` — per-vertex triangle counts + local clustering
+  coefficients. The reference probes connectedness with bounded-path
+  Cypher queries (graph_metrics.py:964-1009); a distributed triangle
+  count is the exact, scalable form of that probe.
+
+Scale shape (triangles): the classic degree-ordered wedge join. Each
+undirected edge is oriented from its lower (degree, id) endpoint to the
+higher; wedges are generated only at an edge's LOWER-degree endpoint, so
+total wedge volume is O(m^1.5) instead of sum(deg²) — the difference
+between feasible and not on a power-law graph where one celebrity node
+would otherwise emit |deg|² ≈ 10¹⁴ wedges. Three hash joins, all on
+vertex/pair keys; AQE handles residual skew.
 """
 
 from __future__ import annotations
@@ -17,96 +32,115 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _one(spark, name: str, value: float) -> DataFrame:
-    return spark.createDataFrame([(name, float(value))], "metric string, value double")
-
-
-def entity_coverage(nodes: DataFrame, mentions: DataFrame) -> DataFrame:
-    """Fraction of mentioned entity ids that exist in the nodes table
-    (EntityCoverageMetric semantics: how much of what the corpus mentions
-    the graph actually models)."""
-    spark = nodes.sparkSession
-    mentioned = mentions.select("entity_id").distinct()
-    covered = mentioned.join(nodes.select("entity_id").distinct(), on="entity_id", how="left_semi")
-    total = mentioned.count()
-    return _one(spark, "entity_coverage", (covered.count() / total) if total else 1.0)
-
-
-def relationship_utilization(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Fraction of entities participating in ≥1 relationship
-    (RelationshipUtilizationMetric: isolated entities are dead weight)."""
-    spark = nodes.sparkSession
-    endpoints = (
-        edges.select(F.col("subj").alias("entity_id"))
-        .unionByName(edges.select(F.col("obj").alias("entity_id")))
+def _undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """→ (a, b): distinct undirected pairs, self-loops dropped, a < b."""
+    return (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    used = nodes.join(endpoints, on="entity_id", how="left_semi")
-    total = nodes.count()
-    return _one(spark, "relationship_utilization", (used.count() / total) if total else 1.0)
 
 
-def graph_coverage(chunks: DataFrame, mentions: DataFrame) -> DataFrame:
-    """Fraction of chunks contributing ≥1 mention (GraphCoverageMetric:
-    silent chunks mean extraction missed content)."""
-    spark = chunks.sparkSession
-    all_chunks = chunks.select("chunk_id").distinct()
-    covered = all_chunks.join(
-        mentions.select("chunk_id").distinct(), on="chunk_id", how="left_semi"
-    )
-    total = all_chunks.count()
-    return _one(spark, "graph_coverage", (covered.count() / total) if total else 1.0)
-
-
-def community_relevance(membership: DataFrame, edges: DataFrame) -> DataFrame:
-    """Mean intra-community edge ratio at level 0 (CommunityRelevanceMetric
-    analogue: how much of the edge mass falls inside communities)."""
-    spark = membership.sparkSession
-    m = membership.filter(F.col("level") == 0).select(
-        F.col("member_id"), F.col("community_id")
-    )
-    total = edges.count()
-    if not total:
-        return _one(spark, "community_relevance", 1.0)
-    intra = (
-        edges.join(m.withColumnRenamed("member_id", "subj"), on="subj")
-        .join(
-            m.withColumnRenamed("member_id", "obj").withColumnRenamed("community_id", "_c2"),
-            on="obj",
-        )
-        .filter(F.col("community_id") == F.col("_c2"))
-        .count()
-    )
-    return _one(spark, "community_relevance", intra / total)
-
-
-def subgraph_quality(nodes: DataFrame, edges: DataFrame) -> DataFrame:
-    """Weighted mean of placeholder-free node ratio and parallel-edge-free
-    edge ratio (SubgraphQualityMetric analogue: structural cleanliness)."""
-    from graph_rag_agent_spark.config import UNKNOWN_ENTITY_TYPE
-
-    spark = nodes.sparkSession
-    n_total = nodes.count()
-    n_known = nodes.filter(F.col("entity_type") != UNKNOWN_ENTITY_TYPE).count()
-    e_total = edges.count()
-    e_distinct = edges.select("subj", "pred", "obj").distinct().count()
-    node_ratio = (n_known / n_total) if n_total else 1.0
-    edge_ratio = (e_distinct / e_total) if e_total else 1.0
-    return _one(spark, "subgraph_quality", 0.5 * node_ratio + 0.5 * edge_ratio)
-
-
-def graph_quality_report(
+def graph_structure_report(
     nodes: DataFrame,
     edges: DataFrame,
-    mentions: DataFrame,
-    chunks: DataFrame,
-    membership: DataFrame,
+    node_col: str = "entity_id",
+    src_col: str = "subj",
+    dst_col: str = "obj",
 ) -> DataFrame:
-    """All five metrics as one (metric, value) DataFrame."""
-    return (
-        entity_coverage(nodes, mentions)
-        .unionByName(relationship_utilization(nodes, edges))
-        .unionByName(graph_coverage(chunks, mentions))
-        .unionByName(community_relevance(membership, edges))
-        .unionByName(subgraph_quality(nodes, edges))
+    """→ ONE row (n_nodes, n_triples, n_edges, density, connectivity,
+    quality): the corpus-level graph-quality rollup (see module docstring
+    for the reference mapping).
+
+    Scale shape: four independent single-row aggregates cross-joined (each
+    a map-side-combined count — no wide shuffle); the only distinct is over
+    edge endpoints, keyed on the vertex id.
+    """
+    und = _undirected(edges, src_col, dst_col)
+    nn = nodes.select(F.countDistinct(node_col).alias("n_nodes"))
+    nt = edges.agg(F.count("*").alias("n_triples"))
+    ne = und.agg(F.count("*").alias("n_edges"))
+    touched = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .distinct()
+        .agg(F.count("*").alias("n_touched"))
     )
+    row = nn.crossJoin(nt).crossJoin(ne).crossJoin(touched)
+    n = F.col("n_nodes")
+    max_edges = F.when(n > 1, n * (n - 1) / F.lit(2.0)).otherwise(F.lit(1.0))
+    density = F.col("n_edges") / max_edges
+    connectivity = F.when(n > 0, F.col("n_touched") / n).otherwise(F.lit(0.0))
+    return row.select(
+        "n_nodes",
+        "n_triples",
+        "n_edges",
+        density.alias("density"),
+        connectivity.alias("connectivity"),
+        (F.lit(0.5) * density + F.lit(0.5) * connectivity).alias("quality"),
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """→ (entity_id, degree, triangles, clustering): per-vertex triangle
+    count and local clustering coefficient 2T/(deg·(deg−1)) over the
+    undirected simple graph (multi-edges and self-loops dropped first).
+    Every vertex incident to ≥1 edge is emitted (isolated vertices have no
+    triangles by definition and carry no edge row to anchor them).
+    """
+    und = _undirected(edges, src_col, dst_col)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("degree"))
+    )
+    # orient each edge from the lower (degree, id) endpoint to the higher —
+    # the wedge-bounding step (see module docstring)
+    ranked = (
+        und.join(deg.withColumnRenamed("id", "a").withColumnRenamed("degree", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("degree", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # wedges centered at u between its two higher-ranked neighbors v1 < v2
+    # (rank order again, so the closing edge — if present — is oriented
+    # exactly v1 → v2 and ONE join closes the triangle)
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"]).select("u", "v1", "v2")
+    cnt = (
+        tri.select(F.col("u").alias("id"))
+        .unionByName(tri.select(F.col("v1").alias("id")))
+        .unionByName(tri.select(F.col("v2").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = deg.join(cnt, "id", "left").select(
+        F.col("id").alias("entity_id"),
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+    )
+    clustering = F.when(
+        F.col("degree") > 1,
+        (F.lit(2.0) * F.col("triangles")) / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("clustering", clustering)
