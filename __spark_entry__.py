@@ -705,12 +705,20 @@ def _q_dedup_groups(spark, sf_dir):
     return dedup_groups(_docs(spark, sf_dir), pairs=_lsh_pairs(spark, sf_dir))
 
 
+# the synthetic corpus has no near-dups, so the join fixture adds an exact
+# copy (hamming 0 — provably flows through all 4 pigeonhole buckets) and a
+# one-word-perturbed copy of the first _SIMHASH_AUG_MAX docs; capping the
+# copies keeps the bench cost ~the corpus itself rather than 3× it
+_SIMHASH_AUG_MAX = 200
+
+
 def _q_simhash_near_dups(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    head = docs.filter(F.col("doc_id") < _SIMHASH_AUG_MAX)
     aug = docs.unionByName(
-        docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        head.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     ).unionByName(
-        docs.select(
+        head.select(
             (F.col("doc_id") + 200000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" zz")).alias("text"),
         )
@@ -1254,11 +1262,13 @@ _SIMHASH_ORACLE = _simhash_oracle_body("documents")
 # near-dup-join fixture: the corpus plus an exact copy of every doc
 # (hamming 0 — guaranteed pairs through all 4 pigeonhole buckets) and a
 # one-word-appended copy (small, data-dependent hamming)
-_SIMHASH_AUG = """
+_SIMHASH_AUG = f"""
     aug AS (
         SELECT doc_id, text FROM documents
         UNION ALL SELECT doc_id + 100000, text FROM documents
+        WHERE doc_id < {_SIMHASH_AUG_MAX}
         UNION ALL SELECT doc_id + 200000, text || ' zz' FROM documents
+        WHERE doc_id < {_SIMHASH_AUG_MAX}
     )"""
 
 _SIMHASH_NEAR_DUP_ORACLE = (
