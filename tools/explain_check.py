@@ -116,6 +116,21 @@ def main():
     if "Generate" in p9:
         failures.append("repetition_scores: explode leaked into the plan")
 
+    # 10. PII redaction is a map-only projection of JVM regexp exprs — no
+    # shuffle and no Python in the plan
+    p10 = plan_of(entry_mod.queries()["pii_redaction"](spark, sf))
+    if "Exchange" in p10:
+        failures.append("pii_redaction: shuffle in a map-only plan")
+    if "Python" in p10 or "ArrowEval" in p10:
+        failures.append("pii_redaction: Python UDF in the plan")
+
+    # 11. triangle counting must never degrade to a cartesian/nested-loop
+    # product — every join is an equi hash/merge join on wedge keys
+    p11 = plan_of(entry_mod.queries()["triangle_counts"](spark, sf))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in p11:
+            failures.append(f"triangle_counts: {bad} in the plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
