@@ -207,6 +207,53 @@ def _q_kg_mention_counts(spark, sf_dir):
     )
 
 
+def _q_kg_lineage_report(spark, sf_dir):
+    """Per-source-partition lineage rollup (north rule: 'checkpoints
+    per-partition with lineage + triple-count metrics'): docs, chunks,
+    distinct triples, entities, and mention rows per repo — the queryable
+    twin of the per-stage Observation counters plans/build.py emits
+    (reference prints the same per-stage totals from its build timers,
+    build_graph.py:334-345)."""
+    chunks = _sf_chunks(spark, sf_dir).select("chunk_id", "doc_id", "repo")
+    rels = parse_relationships(_raw_results(spark, sf_dir)).select(
+        "chunk_id", "subj", "pred", "obj"
+    )
+    _, _, mentions = _sf_graph_tables(spark, sf_dir)
+    base = chunks.groupBy("repo").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("chunk_id").alias("n_chunks"),
+    )
+    tri = (
+        rels.join(chunks.select("chunk_id", "repo"), "chunk_id")
+        .select("repo", "subj", "pred", "obj")
+        .distinct()
+        .groupBy("repo")
+        .agg(F.count("*").alias("n_triples"))
+    )
+    men = (
+        mentions.select("chunk_id", "entity_id")
+        .distinct()
+        .join(chunks.select("chunk_id", "repo"), "chunk_id")
+        .groupBy("repo")
+        .agg(
+            F.countDistinct("entity_id").alias("n_entities"),
+            F.count("*").alias("n_mentions"),
+        )
+    )
+    return (
+        base.join(tri, "repo", "left")
+        .join(men, "repo", "left")
+        .select(
+            "repo",
+            "n_docs",
+            "n_chunks",
+            F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+            F.coalesce("n_entities", F.lit(0)).alias("n_entities"),
+            F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+        )
+    )
+
+
 def _sf_graph_tables(spark, sf_dir):
     """Raw (pre-canonicalization) nodes/edges/mentions, node+edge frames
     checkpointed once per session — shared by the canonical chain and the
@@ -800,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entities": _q_kg_entities,
         "kg_entity_degree": _q_kg_entity_degree,
         "kg_mention_counts": _q_kg_mention_counts,
+        "kg_lineage_report": _q_kg_lineage_report,
         "kg_canonical_triples": _q_kg_canonical_triples,
         "kg_similar_pairs": _q_kg_similar_pairs,
         "kg_wcc": _q_kg_wcc,
@@ -1411,6 +1459,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o.w, sha256(d.text) AS dh
                 FROM ordered o JOIN documents d ON o.doc_id = d.doc_id
             ) GROUP BY w""",
+        "kg_lineage_report": _PAIRS_CTE + """
+            , dsrc AS (SELECT doc_id, source AS repo FROM documents)
+            , base AS (
+                -- every sf document fits in one chunk (see kg_triples_raw)
+                SELECT repo, count(DISTINCT doc_id) AS n_docs,
+                       count(DISTINCT doc_id) AS n_chunks
+                FROM dsrc GROUP BY repo
+            ), tri AS (
+                SELECT repo, count(*) AS n_triples FROM (
+                    SELECT DISTINCT s.repo, p.subj, p.pred, p.obj
+                    FROM pairs p JOIN dsrc s ON s.doc_id = p.doc_id
+                ) GROUP BY repo
+            ), men AS (
+                SELECT s.repo, count(DISTINCT o.w) AS n_entities,
+                       count(*) AS n_mentions
+                FROM ordered o JOIN dsrc s ON s.doc_id = o.doc_id
+                GROUP BY s.repo
+            )
+            SELECT b.repo, b.n_docs, b.n_chunks,
+                   coalesce(t.n_triples, 0) AS n_triples,
+                   coalesce(m.n_entities, 0) AS n_entities,
+                   coalesce(m.n_mentions, 0) AS n_mentions
+            FROM base b
+            LEFT JOIN tri t ON t.repo = b.repo
+            LEFT JOIN men m ON m.repo = b.repo""",
         "entity_linking": _WORDS_CTE + """
             SELECT entity_id, string_sim FROM (
                 SELECT DISTINCT w AS entity_id,

@@ -40,6 +40,7 @@ from graph_rag_agent_spark.sources.corpus import generate_corpus  # noqa: E402
 
 BENCH_QUERIES = [
     "kg_triples_raw",
+    "kg_lineage_report",
     "kg_canonical_triples",
     "kg_graph_projection",
     "top_chunks_for_seeds",
