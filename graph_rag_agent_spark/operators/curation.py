@@ -23,6 +23,12 @@ def rate_to_hex_threshold(rate: float) -> str:
     String comparison is lexicographic over lowercase hex in both Spark and
     DuckDB, so the predicate is engine-exact."""
     n = max(0, min(HASH_SPACE, int(rate * HASH_SPACE)))
+    if n >= HASH_SPACE:
+        # format(16**8, "08x") is the NINE-char "100000000", which compares
+        # lexicographically BELOW any 8-char hash starting with '2'-'f' and
+        # would keep only ~1/16 of rows at rate=1.0. 'g' sorts above every
+        # hex digit in both Spark and DuckDB, so `hash < 'g'` keeps all.
+        return "g"
     return format(n, "08x")
 
 

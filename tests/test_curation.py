@@ -79,6 +79,19 @@ def test_stratified_sample_membership_is_pure_hash_function(spark, corpus):
     assert 0.3 * n_en < n_en_kept < 0.7 * n_en
 
 
+def test_stratified_sample_boundary_rates(spark, corpus):
+    """rate=1.0 keeps EVERY row and rate=0.0 keeps none. Regression: the
+    1.0 threshold used to render as the 9-char '100000000', which sorts
+    lexicographically below any hash starting '2'-'f' and silently kept
+    only ~1/16 of the stratum."""
+    total = corpus.count()
+    assert stratified_sample(corpus, {}, default_rate=1.0).count() == total
+    assert stratified_sample(corpus, {}, default_rate=0.0).count() == 0
+    en = corpus.filter("lang = 'en'").count()
+    mixed = stratified_sample(corpus, {"en": 1.0}, default_rate=0.0)
+    assert mixed.count() == en
+
+
 def test_stratified_sample_no_shuffle_in_plan(spark, corpus):
     plan = stratified_sample(corpus, {"en": 0.5})._jdf.queryExecution() \
         .executedPlan().toString()
