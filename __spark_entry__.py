@@ -31,8 +31,12 @@ from graph_rag_agent_spark.operators.embeddings import embed_entities
 from graph_rag_agent_spark.operators.extraction import extract_chunks
 from graph_rag_agent_spark.operators.parsing import (
     build_graph_tables,
+    derive_mentions,
+    occurrences_from_records,
     parse_entities,
+    parse_records,
     parse_relationships,
+    relationships_from_records,
 )
 from graph_rag_agent_spark.operators.curation import (
     PII_PATTERNS,
@@ -215,10 +219,14 @@ def _q_kg_lineage_report(spark, sf_dir):
     (reference prints the same per-stage totals from its build timers,
     build_graph.py:334-345)."""
     chunks = _sf_chunks(spark, sf_dir).select("chunk_id", "doc_id", "repo")
-    rels = parse_relationships(_raw_results(spark, sf_dir)).select(
-        "chunk_id", "subj", "pred", "obj"
-    )
-    _, _, mentions = _sf_graph_tables(spark, sf_dir)
+    # ONE tagged-records scan feeds both the triple and the mention rollups
+    # (parse_relationships + a lazy mentions branch would each re-scan the
+    # wire text — two full parse passes per evaluation); the checkpoint
+    # materializes the slim records frame once, the production analogue of
+    # the parsed-records stage table.
+    records = parse_records(_raw_results(spark, sf_dir)).localCheckpoint(eager=True)
+    rels = relationships_from_records(records).select("chunk_id", "subj", "pred", "obj")
+    mentions = derive_mentions(occurrences_from_records(records))
     base = chunks.groupBy("repo").agg(
         F.countDistinct("doc_id").alias("n_docs"),
         F.countDistinct("chunk_id").alias("n_chunks"),
