@@ -237,11 +237,74 @@ def graph_quality_report(
     chunks: DataFrame,
     membership: DataFrame,
 ) -> DataFrame:
-    """All five metrics as one (metric, value) DataFrame."""
-    return (
-        entity_coverage(nodes, mentions)
-        .unionByName(relationship_utilization(nodes, edges))
-        .unionByName(graph_coverage(chunks, mentions))
-        .unionByName(community_relevance(membership, edges))
-        .unionByName(subgraph_quality(nodes, edges))
+    """All five metrics as one (metric, value) DataFrame — computed in ONE
+    distributed plan. The per-metric functions above are the readable
+    single-metric API, but each runs 1-2 driver-side ``.count()`` jobs plus
+    Python branching; composing them would cost ~9 driver round-trips per
+    build (the anti-pattern the consistency report shed in round 2). Here
+    every input feeds a single-row aggregate branch, the branches cross-join
+    (1×1, no wide shuffle), the empty-input fallbacks become ``when()``
+    guards, and ``stack`` unpivots the wide row — one action, same values.
+    """
+    from graph_rag_agent_spark.config import UNKNOWN_ENTITY_TYPE
+
+    mentioned = mentions.select("entity_id").distinct()
+    endpoints = edges.select(F.col("subj").alias("entity_id")).unionByName(
+        edges.select(F.col("obj").alias("entity_id"))
+    )
+    m0 = membership.filter(F.col("level") == 0).select("member_id", "community_id")
+    branches = [
+        mentioned.join(nodes.select("entity_id"), "entity_id", "left_semi")
+        .agg(F.count("*").alias("mention_covered")),
+        mentioned.agg(F.count("*").alias("mention_total")),
+        nodes.join(endpoints, "entity_id", "left_semi")
+        .agg(F.count("*").alias("nodes_used")),
+        nodes.agg(
+            F.count("*").alias("nodes_total"),
+            F.count(
+                F.when(F.col("entity_type") != UNKNOWN_ENTITY_TYPE, 1)
+            ).alias("nodes_known"),
+        ),
+        chunks.select("chunk_id").distinct()
+        .join(mentions.select("chunk_id"), "chunk_id", "left_semi")
+        .agg(F.count("*").alias("chunks_covered")),
+        chunks.select("chunk_id").distinct().agg(F.count("*").alias("chunks_total")),
+        edges.agg(F.count("*").alias("edges_total")),
+        edges.select("subj", "pred", "obj").distinct()
+        .agg(F.count("*").alias("edges_distinct")),
+        edges.join(m0.withColumnRenamed("member_id", "subj"), "subj")
+        .join(
+            m0.withColumnRenamed("member_id", "obj").withColumnRenamed(
+                "community_id", "_c2"
+            ),
+            "obj",
+        )
+        .filter(F.col("community_id") == F.col("_c2"))
+        .agg(F.count("*").alias("edges_intra")),
+    ]
+    wide = branches[0]
+    for b in branches[1:]:
+        wide = wide.crossJoin(b)
+
+    def ratio(num: str, den: str) -> F.Column:  # empty input → 1.0 (as above)
+        return F.when(F.col(den) > 0, F.col(num) / F.col(den)).otherwise(F.lit(1.0))
+
+    node_ratio = ratio("nodes_known", "nodes_total")
+    edge_ratio = ratio("edges_distinct", "edges_total")
+    vals = wide.select(
+        ratio("mention_covered", "mention_total").alias("v_ec"),
+        ratio("nodes_used", "nodes_total").alias("v_ru"),
+        ratio("chunks_covered", "chunks_total").alias("v_gc"),
+        ratio("edges_intra", "edges_total").alias("v_cr"),
+        (F.lit(0.5) * node_ratio + F.lit(0.5) * edge_ratio).alias("v_sq"),
+    )
+    return vals.select(
+        F.expr(
+            "stack(5, "
+            "'entity_coverage', v_ec, "
+            "'relationship_utilization', v_ru, "
+            "'graph_coverage', v_gc, "
+            "'community_relevance', v_cr, "
+            "'subgraph_quality', v_sq) as (metric, value)"
+        )
     )
