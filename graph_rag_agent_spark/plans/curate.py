@@ -7,9 +7,15 @@ BuildPipeline's metrics discipline. Every stage is one of the
 oracle-checked operators; this plan only wires them.
 
 Scale shape: each stage is a single shuffle-bounded operator (the near-dup
-join is the banded LSH join, never all-pairs); stage counts are collected
-through one `count()` per stage, and the kept set flows as a DataFrame —
-no driver materialization of ids.
+join is the banded LSH join, never all-pairs), and each stage's output is
+materialized ONCE (`localCheckpoint`) before it is counted and consumed —
+without the barrier the lazy chain re-evaluates every earlier stage per
+stage-count (5 passes over the corpus instead of 1) and the near-dup step,
+which consumes `kept` twice (pair generation + the anti-join), would
+execute the upstream chain twice inside one action. The kept set flows as
+a DataFrame — no driver materialization of ids. At warehouse scale the
+same barrier is a stage TABLE write (BuildPipeline's discipline);
+`localCheckpoint` is the in-memory form of it.
 """
 
 from __future__ import annotations
@@ -64,11 +70,11 @@ def curate_corpus(
     kept = docs.join(
         q.filter("keep").select(F.col("doc_id").alias(id_col)),
         on=id_col, how="left_semi",
-    )
+    ).localCheckpoint(eager=True)
     stats["quality"] = kept.count()
 
     # 2. exact dedup (min id per sha256 wins)
-    kept = dedup_exact(kept, text_col=text_col, id_col=id_col)
+    kept = dedup_exact(kept, text_col=text_col, id_col=id_col).localCheckpoint(eager=True)
     stats["exact_dedup"] = kept.count()
 
     # 3. near-dup drop: for every candidate pair (a < b), drop b — each
@@ -90,7 +96,7 @@ def curate_corpus(
         kept = kept.join(
             drops, on=F.col(id_col).cast("string") == F.col("_drop_id"),
             how="left_anti",
-        )
+        ).localCheckpoint(eager=True)
         stats["near_dup"] = kept.count()
 
     # 4. stratified mixing sample (deterministic hash membership)
@@ -98,7 +104,7 @@ def curate_corpus(
         kept = stratified_sample(
             kept, cfg.sample_rates, strata_col=cfg.strata_col,
             id_col=id_col, default_rate=cfg.sample_default_rate,
-        )
+        ).localCheckpoint(eager=True)
         stats["sampled"] = kept.count()
 
     # 5. shard packing
