@@ -475,6 +475,22 @@ def _q_community_summaries(spark, sf_dir):
     return summaries
 
 
+def _q_graph_quality_report(spark, sf_dir):
+    """The five reference-evaluation graph-quality analogues (entity
+    coverage, relationship utilization, graph coverage, community
+    relevance, subgraph quality — evaluation/metrics/graph_metrics.py:1009,
+    1302, 635, 6, 242) computed in one fused plan over the canonical graph
+    + the community membership; the SQL twin derives identical counts from
+    the shared canonical/community CTE chain."""
+    from graph_rag_agent_spark.operators.graph_metrics import graph_quality_report
+
+    res = _sf_canonical(spark, sf_dir)
+    membership, _ = _sf_communities(spark, sf_dir)
+    chunks = _sf_chunks(spark, sf_dir)
+    rep = graph_quality_report(res.nodes, res.edges, res.mentions, chunks, membership)
+    return rep.select("metric", F.round("value", 6).alias("value"))
+
+
 def _sf_seed_entities(spark, sf_dir):
     """Deterministic Q1 seeds: top-5 canonical-graph degree entities (the
     SQL twin derives the identical set from canon_triples)."""
@@ -892,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "blocklist_filter": _q_blocklist_filter,
         "graph_structure_report": _q_graph_structure_report,
+        "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
         "contamination_overlap": _q_contamination,
@@ -1556,6 +1573,69 @@ def oracle_sql() -> dict[str, str]:
         # top-5 template summaries with the reference stringification
         "community_summaries": _CANON_CTE + _COMM_SUMMARY_BODY
         + _SUMMARY_SELECT,
+        # The five evaluation-framework graph-quality analogues over the
+        # canonical graph + level-0 membership. Corpus-specific constants
+        # the chain already encodes elsewhere: every sf entity is type
+        # 'term' (kg_entities rule → nodes_known = nodes_total) and every
+        # sf doc fits one chunk (chunks_total = count(documents), chunk
+        # identity ≡ sha256(text) as in crank).
+        "graph_quality_report": _CANON_CTE + _COMM_SUMMARY_BODY + """
+            , q_mentioned AS (SELECT DISTINCT member_id FROM cmention
+            ), q_endpoints AS (
+                SELECT DISTINCT id FROM (
+                    SELECT subj AS id FROM canon_triples
+                    UNION ALL SELECT obj AS id FROM canon_triples)
+            ), q_counts AS (
+                SELECT
+                  (SELECT count(*) FROM q_mentioned) AS mention_total,
+                  (SELECT count(*) FROM q_mentioned m
+                     JOIN canon_nodes n ON n.id = m.member_id) AS mention_covered,
+                  (SELECT count(*) FROM canon_nodes) AS nodes_total,
+                  (SELECT count(*) FROM canon_nodes n
+                     JOIN q_endpoints e ON e.id = n.id) AS nodes_used,
+                  (SELECT count(*) FROM canon_nodes) AS nodes_known,
+                  (SELECT count(*) FROM documents) AS chunks_total,
+                  -- chunk identity must stay DOC-scoped here (unlike crank's
+                  -- sha256-of-text shortcut): duplicate texts exist at sf0.1
+                  -- and would collapse, undercounting covered chunks
+                  (SELECT count(DISTINCT doc_id) FROM ordered) AS chunks_covered,
+                  (SELECT count(*) FROM canon_triples) AS edges_total,
+                  (SELECT count(*) FROM (
+                      SELECT DISTINCT subj, pred, obj FROM canon_triples)) AS edges_distinct,
+                  (SELECT count(*) FROM canon_triples e
+                     JOIN memb m ON m.member_id = e.subj
+                     JOIN memb m2 ON m2.member_id = e.obj
+                      AND m2.community_id = m.community_id) AS edges_intra
+            )
+            SELECT metric, round(value, 6) AS value FROM (
+                SELECT 'entity_coverage' AS metric,
+                       CASE WHEN mention_total > 0
+                            THEN mention_covered::DOUBLE / mention_total
+                            ELSE 1.0 END AS value FROM q_counts
+                UNION ALL
+                SELECT 'relationship_utilization',
+                       CASE WHEN nodes_total > 0
+                            THEN nodes_used::DOUBLE / nodes_total
+                            ELSE 1.0 END FROM q_counts
+                UNION ALL
+                SELECT 'graph_coverage',
+                       CASE WHEN chunks_total > 0
+                            THEN chunks_covered::DOUBLE / chunks_total
+                            ELSE 1.0 END FROM q_counts
+                UNION ALL
+                SELECT 'community_relevance',
+                       CASE WHEN edges_total > 0
+                            THEN edges_intra::DOUBLE / edges_total
+                            ELSE 1.0 END FROM q_counts
+                UNION ALL
+                SELECT 'subgraph_quality',
+                       0.5 * (CASE WHEN nodes_total > 0
+                                   THEN nodes_known::DOUBLE / nodes_total
+                                   ELSE 1.0 END)
+                     + 0.5 * (CASE WHEN edges_total > 0
+                                   THEN edges_distinct::DOUBLE / edges_total
+                                   ELSE 1.0 END) FROM q_counts
+            )""",
         # Q3 map phase: '[map] ' || summary per level-0 community
         "global_search_map": _CANON_CTE + _COMM_SUMMARY_BODY + f"""
             SELECT n.community_id,
