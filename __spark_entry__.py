@@ -21,11 +21,13 @@ from graph_rag_agent_spark.operators.canonicalize import canonicalize
 from graph_rag_agent_spark.operators.chunker import chunk_documents
 from graph_rag_agent_spark.operators.dedup import (
     dedup_groups,
+    duplicate_spans,
     exact_duplicates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
     simhash_signatures,
+    strip_duplicate_spans,
 )
 from graph_rag_agent_spark.operators.embeddings import embed_entities
 from graph_rag_agent_spark.operators.extraction import extract_chunks
@@ -776,6 +778,33 @@ def _q_dedup_groups(spark, sf_dir):
     return dedup_groups(_docs(spark, sf_dir), pairs=_lsh_pairs(spark, sf_dir))
 
 
+# window for the exact-substring dedup queries: the synthetic docs are a few
+# hundred tokens, so 8 exercises multi-window span merging; the operator's
+# production default stays the paper's 50-token threshold
+_SPAN_WINDOW = 8
+
+
+def _span_table(spark, sf_dir):
+    """Memoized duplicate-span table — shared by the span report and the
+    strip query (the production plan materializes spans once, then both
+    the audit report and the removal pass consume it)."""
+
+    def make():
+        return duplicate_spans(
+            _docs(spark, sf_dir), window=_SPAN_WINDOW
+        ).localCheckpoint(eager=True)
+
+    return _memo(spark, f"dup_spans:{sf_dir}", make)
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    return _span_table(spark, sf_dir)
+
+
+def _q_substring_dedup(spark, sf_dir):
+    return strip_duplicate_spans(_docs(spark, sf_dir), _span_table(spark, sf_dir))
+
+
 # the synthetic corpus has no near-dups, so the join fixture adds an exact
 # copy (hamming 0 — provably flows through all 4 pigeonhole buckets) and a
 # one-word-perturbed copy of the first _SIMHASH_AUG_MAX docs; capping the
@@ -895,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_groups": _q_dedup_groups,
+        "duplicate_spans": _q_duplicate_spans,
+        "substring_dedup": _q_substring_dedup,
         "ann_topk": _q_ann_topk,
         "knn_per_label": _q_knn_per_label,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1281,6 +1312,94 @@ def _minhash_oracle_sql() -> str:
         FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id"""
 
 
+def _span_cte_body() -> str:
+    """Shared CTE chain for the exact-substring dedup twins: tokenize →
+    per-position shingles (carrying the token array through the
+    generate_series unnest — an order of magnitude faster in DuckDB than
+    a per-row list comprehension) → duplicate sites (every site of a
+    shingle except the first in (doc_id, pos) order) → overlapping-or-
+    adjacent sites merged into maximal spans (running-max gaps-and-islands,
+    the exact rule the Spark operator applies)."""
+    w = _SPAN_WINDOW
+    return f"""t AS (
+            SELECT doc_id::VARCHAR AS doc_id,
+                   regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+            FROM documents
+        ), pos_i AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {w - 1})) AS i
+            FROM t
+        ), sites AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(toks[i : i + {w - 1}], ' ') AS sh
+            FROM pos_i
+        ), ranked AS (
+            SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY sh) AS n_sites
+            FROM sites
+        ), dup AS (
+            SELECT doc_id, pos FROM ranked WHERE n_sites >= 2 AND rn > 1
+        ), runmax AS (
+            SELECT doc_id, pos,
+                   max(pos + {w - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+            FROM dup
+        ), flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                        THEN 1 ELSE 0 END AS ni
+            FROM runmax
+        ), islands AS (
+            SELECT doc_id, pos,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+            FROM flagged
+        ), spans AS (
+            SELECT doc_id, min(pos) AS span_start,
+                   max(pos) + {w - 1} AS span_end, count(*) AS n_windows
+            FROM islands GROUP BY doc_id, island
+        )"""
+
+
+def _duplicate_spans_oracle_sql() -> str:
+    return (
+        "WITH "
+        + _span_cte_body()
+        + """
+        SELECT doc_id, span_start, span_end, n_windows FROM spans"""
+    )
+
+
+def _substring_dedup_oracle_sql() -> str:
+    """Replays the span chain, then removes span tokens: per-doc token
+    positions anti-joined to span ranges, surviving tokens re-joined in
+    position order (empty string when a doc loses every token — matching
+    Spark's array_join over an empty array)."""
+    return (
+        "WITH "
+        + _span_cte_body()
+        + """
+        , toks_pos AS (
+            SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,
+                   unnest(toks) AS tok
+            FROM t
+        ), kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM toks_pos p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM spans s
+                WHERE s.doc_id = p.doc_id
+                  AND p.pos BETWEEN s.span_start AND s.span_end)
+        )
+        SELECT t.doc_id,
+               coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS clean_text,
+               len(t.toks) - count(k.pos) AS n_removed
+        FROM t LEFT JOIN kept k ON k.doc_id = t.doc_id
+        GROUP BY t.doc_id, len(t.toks)"""
+    )
+
+
 def _dedup_groups_oracle_sql() -> str:
     """MinHash-LSH pairs closed transitively into duplicate groups:
     group_id = min doc id reachable over candidate pairs (string order —
@@ -1469,6 +1588,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _SIMHASH_NEAR_DUP_ORACLE,
         "minhash_lsh_pairs": _minhash_oracle_sql(),
         "dedup_groups": _dedup_groups_oracle_sql(),
+        "duplicate_spans": _duplicate_spans_oracle_sql(),
+        "substring_dedup": _substring_dedup_oracle_sql(),
         "sllpa_overlap": _sllpa_oracle_sql(),
         "kg_triples_raw": _PAIRS_CTE + "SELECT DISTINCT subj, pred, obj FROM pairs",
         "kg_entities": _WORDS_CTE

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "simhash_near_dups",
     "minhash_lsh_pairs",
     "dedup_groups",
+    "duplicate_spans",
+    "substring_dedup",
     "ann_topk",
     "knn_per_label",
     "embedding_near_dups",

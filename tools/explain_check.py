@@ -131,6 +131,20 @@ def main():
         if bad in p11:
             failures.append(f"triangle_counts: {bad} in the plan")
 
+    # 12. exact-substring dedup: shingle generation and span assembly are
+    # pure SQL (no Python eval), and the site/ownership re-join is an equi
+    # join — never a quadratic product
+    # (the queries() entry is memo-checkpointed, which would hide the plan —
+    # gate the operator's own frame)
+    from graph_rag_agent_spark.operators.dedup import duplicate_spans
+
+    p12 = plan_of(duplicate_spans(entry_mod._docs(spark, sf), window=8))
+    if "BatchEvalPython" in p12 or "ArrowEvalPython" in p12:
+        failures.append("duplicate_spans: Python UDF in the plan")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in p12:
+            failures.append(f"duplicate_spans: {bad} in the plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
