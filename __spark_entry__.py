@@ -682,6 +682,18 @@ def _q_embedding_near_dups(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup cluster-then-dedup (Abbas et al. 2023): md5-sampled
+    centroids → map-only cosine argmax assignment → within-cluster
+    min-id keep-one at cosine ≥ 0.4 (operators/similarity.semantic_dedup;
+    0.4 matches this synthetic table's near-dup band so drops actually
+    occur — real corpora use ~0.95+)."""
+    from graph_rag_agent_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, n_clusters=8, threshold=0.4)
+
+
 def _q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_distinct_tokens", F.round("avg_token_len", 6).alias("avg_token_len")
@@ -929,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "knn_per_label": _q_knn_per_label,
         "embedding_near_dups": _q_embedding_near_dups,
+        "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -1847,6 +1860,35 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4""",
+        "semantic_dedup": """
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+            ),
+            cent AS (
+                SELECT vec_id AS cid, emb AS cvec FROM base
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT 8
+            ),
+            assigned AS (
+                SELECT vec_id, emb, cid FROM (
+                    SELECT b.vec_id, b.emb, c.cid,
+                           row_number() OVER (
+                               PARTITION BY b.vec_id
+                               ORDER BY list_cosine_similarity(b.emb, c.cvec) DESC,
+                                        c.cid
+                           ) AS rn
+                    FROM base b CROSS JOIN cent c
+                ) WHERE rn = 1
+            ),
+            dropped AS (
+                SELECT DISTINCT a.vec_id
+                FROM assigned a JOIN assigned b
+                  ON a.cid = b.cid AND b.vec_id < a.vec_id
+                WHERE list_cosine_similarity(a.emb, b.emb) >= 0.4
+            )
+            SELECT a.vec_id, a.cid AS cluster_id,
+                   (d.vec_id IS NULL) AS keep
+            FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id""",
         "knn_per_label": """
             SELECT vec_id, neighbor_id, round(score, 6) AS score FROM (
                 SELECT a.vec_id, b.vec_id AS neighbor_id,

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "knn_per_label",
     "embedding_near_dups",
+    "semantic_dedup",
     "token_counts",
     "quality_scores",
     "language_id",

@@ -395,3 +395,113 @@ def pairwise_topk_blocked(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-dedup.
+    Semantic near-duplicates are detected WITHIN coarse embedding clusters,
+    so the pairwise pass costs O(Σ|cluster|²) instead of O(n²) — grow
+    `n_clusters` with the corpus and the per-cluster work stays bounded;
+    this is the scale path over exact `cosine_pairs_blocked` for 10⁹+
+    embeddings. Cross-cluster near-dups are not seen (the SemDeDup recall
+    trade, documented and pytest-locked).
+
+    Deterministic and engine-portable by construction (the oracle twin is
+    plain SQL, no RNG):
+      * centroids = the `n_clusters` vectors with the smallest
+        md5(cast(id as string)) — a reproducible pseudo-random sample,
+        computed as a bounded TakeOrderedAndProject (never a full sort);
+      * assignment = argmax cosine against the broadcast centroid matrix,
+        ties → smallest centroid id; one numpy matmul per Arrow batch
+        (map-only — no shuffle, no per-row Python);
+      * drop rule = a vector is dropped iff SOME vector with a smaller id
+        in the same cluster has cosine ≥ threshold (keep-one with the
+        min-id representative; the paper keeps the vector farthest from
+        the centroid — deterministic min-id preferred here, and the rule
+        is intentionally non-greedy so it is a pure pairwise predicate).
+
+    → (vec_id long, cluster_id long, keep boolean). Plan: one bounded
+    centroid collect, one map-only assignment pass, ONE shuffle (groupBy
+    cluster); the per-cluster pairwise matmul is chunked so a hot cluster
+    costs O(chunk × |cluster|) memory, never O(|cluster|²) rows at once.
+    Reference scope: the reference has no embedding-level dedup — this is
+    the training-data-pipeline extension alongside exact/minhash/simhash/
+    jaccard/substring dedup."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    cent_rows = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_clusters)
+        .collect()
+    )
+    if not cent_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cluster_id long, keep boolean"
+        )
+    # ties in the assignment argmax resolve to the smallest centroid id —
+    # order the centroid matrix by id so argmax's first-max IS that rule
+    cent_rows = sorted(cent_rows, key=lambda r: r.vec_id)
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in cent_rows])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    cmat = cmat / norms
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            mn = np.linalg.norm(m, axis=1, keepdims=True)
+            mn[mn == 0] = 1
+            best = ((m / mn) @ cmat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster_id": cent_ids[best], "emb": pdf["emb"]}
+            )
+
+    assigned = base.mapInPandas(
+        assign, schema="vec_id long, cluster_id long, emb array<double>"
+    )
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        n = len(ids)
+        dropped = np.zeros(n, dtype=bool)
+        if n > 1:
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["emb"].iloc[order]]
+            )
+            mn = np.linalg.norm(mat, axis=1, keepdims=True)
+            mn[mn == 0] = 1
+            mat = mat / mn
+            # rows are id-sorted: row i is dropped iff any row j < i has
+            # cosine ≥ threshold — chunked strict-lower-triangle scan
+            for s in range(1, n, chunk):
+                e = min(s + chunk, n)
+                sims = mat[s:e] @ mat[:e].T  # (e-s, e)
+                for i in range(e - s):
+                    gi = s + i
+                    if (sims[i, :gi] >= threshold).any():
+                        dropped[gi] = True
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": pdf["cluster_id"].iloc[0],
+                "keep": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cluster_id").applyInPandas(
+        per_cluster, schema="vec_id long, cluster_id long, keep boolean"
+    )

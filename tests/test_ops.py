@@ -662,3 +662,83 @@ def test_duplicate_spans_max_df_caps_boilerplate(spark):
     # header appears at 10 sites; df cap 5 suppresses it entirely
     assert duplicate_spans(docs, window=4, max_df=5).count() == 0
     assert duplicate_spans(docs, window=4).count() == 9  # all but owner
+
+
+def test_semantic_dedup_keep_one_and_cluster_scope(spark):
+    from graph_rag_agent_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal directions = two clusters; ids 0/1 are exact dups in
+    # one direction, id 2 is a near-dup of them, id 3 sits alone in the
+    # other direction, id 4 is a NEGATED copy of 3 (cosine -1: same
+    # cluster-adjacent direction but below any positive threshold)
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    near = [0.99, 0.141, 0.0, 0.0]  # cos(e1, near) ≈ 0.99
+    rows = [(0, e1), (1, e1), (2, near), (3, e2), (4, [0.0, -1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semantic_dedup(df, n_clusters=2, threshold=0.9).collect()}
+    assert len(out) == 5
+    # min-id representative kept; its duplicates dropped
+    assert out[0].keep and not out[1].keep and not out[2].keep
+    # 0/1/2 share a cluster
+    assert out[0].cluster_id == out[1].cluster_id == out[2].cluster_id
+    # 3 and 4 survive: cosine(e2, -e2) = -1 < 0.9 even if co-clustered
+    assert out[3].keep and out[4].keep
+
+
+def test_semantic_dedup_drop_rule_is_pairwise_not_greedy(spark):
+    from graph_rag_agent_spark.operators.similarity import semantic_dedup
+    import math
+
+    # chain a~b, b~c with a!~c (angles 0°, 25°, 50°; threshold at cos 30°):
+    # b drops (a is smaller+similar); c drops too because b — ITSELF dropped
+    # — is smaller+similar: the rule is a pure pairwise predicate, not a
+    # greedy survivor scan (documented SemDeDup deviation)
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    rows = [(0, vec(0)), (1, vec(25)), (2, vec(50))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.keep for r in
+           semantic_dedup(df, n_clusters=1, threshold=math.cos(math.radians(30))).collect()}
+    assert out == {0: True, 1: False, 2: False}
+
+
+def test_semantic_dedup_cross_cluster_pairs_not_seen(spark):
+    from graph_rag_agent_spark.operators.similarity import semantic_dedup
+
+    # the SemDeDup recall trade: an exact duplicate pair SPLIT across two
+    # clusters survives — verify by forcing k = n (every vector its own
+    # cluster candidate), so the pair can land apart
+    e1 = [1.0, 0.0]
+    rows = [(0, e1), (1, e1), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, n_clusters=3, threshold=0.9).collect()
+    by_id = {r.vec_id: r for r in out}
+    if by_id[0].cluster_id == by_id[1].cluster_id:
+        # identical vectors tie on every centroid → co-cluster → keep-one
+        assert by_id[0].keep and not by_id[1].keep
+    else:  # split: both survive — the documented recall loss
+        assert by_id[0].keep and by_id[1].keep
+
+
+def test_semantic_dedup_chunked_path_matches_unchunked(spark):
+    from graph_rag_agent_spark.operators.similarity import semantic_dedup
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=6)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    # plant duplicates so drops occur
+    rows.append((100, rows[5][1]))
+    rows.append((101, rows[7][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    big = semantic_dedup(df, n_clusters=4, threshold=0.8, chunk=1024)
+    tiny = semantic_dedup(df, n_clusters=4, threshold=0.8, chunk=3)
+    assert sorted(map(tuple, big.collect())) == sorted(map(tuple, tiny.collect()))
+    kept = {r.vec_id: r.keep for r in big.collect()}
+    assert not kept[100] and not kept[101] and kept[5] and kept[7]

@@ -145,6 +145,19 @@ def main():
         if bad in p12:
             failures.append(f"duplicate_spans: {bad} in the plan")
 
+    # 13. semantic dedup: exactly ONE exchange (the cluster groupBy) — the
+    # centroid assignment is a map-only mapInPandas, never a join/explosion,
+    # and no quadratic product anywhere
+    p13 = plan_of(entry_mod.queries()["semantic_dedup"](spark, sf))
+    n_exch = p13.count("Exchange")
+    if n_exch > 1:
+        failures.append(
+            f"semantic_dedup: {n_exch} exchanges in the plan (assignment must be map-only)"
+        )
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if bad in p13:
+            failures.append(f"semantic_dedup: {bad} in the plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
