@@ -397,6 +397,50 @@ def pairwise_topk_blocked(
     )
 
 
+def _semantic_assign(
+    embeddings: DataFrame, n_clusters: int, id_col: str, vec_col: str
+) -> DataFrame | None:
+    """Shared SemDeDup front half: deterministic md5-sampled centroids
+    (bounded TakeOrderedAndProject collect) + map-only argmax-cosine
+    assignment (one numpy matmul per Arrow batch). → (vec_id, cluster_id,
+    emb) or None on empty input."""
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("emb"),
+    )
+    cent_rows = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_clusters)
+        .collect()
+    )
+    if not cent_rows:
+        return None
+    # ties in the assignment argmax resolve to the smallest centroid id —
+    # order the centroid matrix by id so argmax's first-max IS that rule
+    cent_rows = sorted(cent_rows, key=lambda r: r.vec_id)
+    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+    cmat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in cent_rows])
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    cmat = cmat / norms
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            mn = np.linalg.norm(m, axis=1, keepdims=True)
+            mn[mn == 0] = 1
+            best = ((m / mn) @ cmat.T).argmax(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster_id": cent_ids[best], "emb": pdf["emb"]}
+            )
+
+    return base.mapInPandas(
+        assign, schema="vec_id long, cluster_id long, emb array<double>"
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     n_clusters: int = 8,
@@ -430,47 +474,17 @@ def semantic_dedup(
     → (vec_id long, cluster_id long, keep boolean). Plan: one bounded
     centroid collect, one map-only assignment pass, ONE shuffle (groupBy
     cluster); the per-cluster pairwise matmul is chunked so a hot cluster
-    costs O(chunk × |cluster|) memory, never O(|cluster|²) rows at once.
+    costs O(chunk × |cluster|) compute memory, never O(|cluster|²) rows at
+    once. A cluster too large for one task's ROW storage should use
+    `semantic_dedup_blocked` (identical output, block-pair join).
     Reference scope: the reference has no embedding-level dedup — this is
     the training-data-pipeline extension alongside exact/minhash/simhash/
     jaccard/substring dedup."""
-    base = embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("emb"),
-    )
-    cent_rows = (
-        base.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(n_clusters)
-        .collect()
-    )
-    if not cent_rows:
+    assigned = _semantic_assign(embeddings, n_clusters, id_col, vec_col)
+    if assigned is None:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, cluster_id long, keep boolean"
         )
-    # ties in the assignment argmax resolve to the smallest centroid id —
-    # order the centroid matrix by id so argmax's first-max IS that rule
-    cent_rows = sorted(cent_rows, key=lambda r: r.vec_id)
-    cent_ids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
-    cmat = np.stack([np.asarray(r.emb, dtype=np.float64) for r in cent_rows])
-    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
-    norms[norms == 0] = 1
-    cmat = cmat / norms
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-            mn = np.linalg.norm(m, axis=1, keepdims=True)
-            mn[mn == 0] = 1
-            best = ((m / mn) @ cmat.T).argmax(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "cluster_id": cent_ids[best], "emb": pdf["emb"]}
-            )
-
-    assigned = base.mapInPandas(
-        assign, schema="vec_id long, cluster_id long, emb array<double>"
-    )
 
     def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
@@ -504,4 +518,99 @@ def semantic_dedup(
 
     return assigned.groupBy("cluster_id").applyInPandas(
         per_cluster, schema="vec_id long, cluster_id long, keep boolean"
+    )
+
+
+def semantic_dedup_blocked(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int | None = None,
+    target_block_rows: int = DEFAULT_BLOCK_ROWS,
+) -> DataFrame:
+    """Distributed SemDeDup for clusters too large for one task: same
+    semantics as `semantic_dedup` (equality pytest-gated), but within each
+    cluster vectors are hash-split into `n_blocks` sub-blocks; every
+    (block_a ≤ block_b) pair computes PARTIAL drop flags (a vector drops
+    iff a smaller-id cluster-mate anywhere has cosine ≥ threshold — the
+    pairwise predicate ORs cleanly across block pairs), and a final
+    per-vector bool_or aggregate combines them. No task ever holds more
+    than two sub-blocks of rows — the same hot-block mitigation as
+    `pairwise_topk_blocked`. `n_blocks=None` derives the block count from
+    the LARGEST cluster so sub-block payloads are ~`target_block_rows` at
+    any corpus size. → (vec_id long, cluster_id long, keep boolean)."""
+    assigned = _semantic_assign(embeddings, n_clusters, id_col, vec_col)
+    if assigned is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, cluster_id long, keep boolean"
+        )
+    if n_blocks is None:
+        mx = (
+            assigned.groupBy("cluster_id")
+            .agg(F.count("*").alias("_n"))
+            .agg(F.max("_n"))
+            .first()[0]
+        )
+        n_blocks = _derive_n_blocks(int(mx or 0), target_block_rows)
+    blocked = assigned.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(n_blocks)).cast("int")
+    )
+    grouped = blocked.groupBy("cluster_id", "blk").agg(
+        F.collect_list(F.struct("vec_id", "emb")).alias("items")
+    )
+    a, b = grouped.alias("a"), grouped.alias("b")
+    paired = a.join(
+        b,
+        on=(F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("a.blk") <= F.col("b.blk")),
+    ).select(
+        F.col("a.cluster_id").alias("cluster_id"),
+        F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"),
+        F.col("a.items").alias("items_a"), F.col("b.items").alias("items_b"),
+    )
+
+    def partial_flags(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: List[tuple] = []
+            for cid, blk_a, blk_b, items_a, items_b in zip(
+                pdf["cluster_id"], pdf["blk_a"], pdf["blk_b"],
+                pdf["items_a"], pdf["items_b"],
+            ):
+                ids_a = np.array([r["vec_id"] for r in items_a], dtype=np.int64)
+                mat_a = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in items_a])
+                na = np.linalg.norm(mat_a, axis=1, keepdims=True)
+                na[na == 0] = 1
+                mat_a = mat_a / na
+                if blk_a == blk_b:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b = np.array([r["vec_id"] for r in items_b], dtype=np.int64)
+                    mat_b = np.stack(
+                        [np.asarray(r["emb"], dtype=np.float64) for r in items_b]
+                    )
+                    nb = np.linalg.norm(mat_b, axis=1, keepdims=True)
+                    nb[nb == 0] = 1
+                    mat_b = mat_b / nb
+                sims = mat_a @ mat_b.T
+                hit = sims >= threshold
+                # a-side vector drops if some SMALLER-id b-side vector hits;
+                # b-side symmetric (same matrix, transposed comparison)
+                smaller_b = ids_b[None, :] < ids_a[:, None]
+                drop_a = (hit & smaller_b).any(axis=1)
+                for vid, cidv, d in zip(ids_a, np.repeat(cid, len(ids_a)), drop_a):
+                    out.append((int(vid), int(cidv), bool(d)))
+                if blk_a != blk_b:
+                    smaller_a = ids_a[:, None] < ids_b[None, :]
+                    drop_b = (hit & smaller_a).any(axis=0)
+                    for vid, d in zip(ids_b, drop_b):
+                        out.append((int(vid), int(cid), bool(d)))
+            yield pd.DataFrame(out, columns=["vec_id", "cluster_id", "dropped"])
+
+    partials = paired.mapInPandas(
+        partial_flags, schema="vec_id long, cluster_id long, dropped boolean"
+    )
+    return partials.groupBy("vec_id", "cluster_id").agg(
+        (~F.bool_or("dropped")).alias("keep")
     )

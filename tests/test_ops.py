@@ -742,3 +742,43 @@ def test_semantic_dedup_chunked_path_matches_unchunked(spark):
     assert sorted(map(tuple, big.collect())) == sorted(map(tuple, tiny.collect()))
     kept = {r.vec_id: r.keep for r in big.collect()}
     assert not kept[100] and not kept[101] and kept[5] and kept[7]
+
+
+def test_semantic_dedup_blocked_matches_single_task(spark):
+    from graph_rag_agent_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_blocked,
+    )
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    rows = []
+    for i in range(80):
+        v = rng.normal(size=6)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    rows += [(200, rows[3][1]), (201, rows[9][1]), (202, rows[9][1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = sorted(map(tuple, semantic_dedup(df, n_clusters=4, threshold=0.8).collect()))
+    # n_blocks=4 forces multi-block clusters so cross-block, same-block,
+    # and both drop directions (a-side and b-side) are all exercised
+    blocked = sorted(
+        map(tuple, semantic_dedup_blocked(df, n_clusters=4, threshold=0.8, n_blocks=4).collect())
+    )
+    assert single == blocked
+    kept = dict((v, k) for v, c, k in blocked)
+    assert not kept[200] and not kept[201] and not kept[202]
+
+
+def test_semantic_dedup_blocked_derives_block_count(spark):
+    from graph_rag_agent_spark.operators.similarity import semantic_dedup_blocked
+
+    rows = [(i, [float(i % 7 + 1), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # target_block_rows=8 on a ~40-row hot cluster must still return every
+    # vector exactly once with a boolean keep
+    out = semantic_dedup_blocked(
+        df, n_clusters=2, threshold=0.999999, target_block_rows=8
+    ).collect()
+    assert len(out) == 40
+    assert {r.vec_id for r in out} == set(range(40))
