@@ -753,6 +753,45 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_counts(res.edges)
 
 
+_PAGERANK_ITERS = 5
+_PAGERANK_DAMPING = 0.85
+
+
+def _q_entity_pagerank(spark, sf_dir):
+    """Global PageRank over the weighted co-occurrence projection — the
+    strengthening of the reference's degree-based entity ranking
+    (local_search.py:86-137 orders candidates by degree; community rank is
+    summary-level). Fixed 5 damped iterations (deterministic; the oracle
+    unrolls the same ones), dangling-free by construction (symmetrized
+    projection)."""
+    from graph_rag_agent_spark.operators.communities import weighted_projection
+    from graph_rag_agent_spark.operators.pagerank import pagerank_projection
+
+    res = _sf_canonical(spark, sf_dir)
+    proj = weighted_projection(res.edges)
+    return pagerank_projection(
+        proj, damping=_PAGERANK_DAMPING, n_iter=_PAGERANK_ITERS
+    )
+
+
+def _q_seed_ppr(spark, sf_dir):
+    """Personalized PageRank from the Q1 seed entities — graph-walk
+    retrieval scoring over the same projection (teleport uniform over the
+    seeds ∩ projection vertices), the random-walk generalization of the
+    reference's 1-hop seed-relationship retrieval."""
+    from graph_rag_agent_spark.operators.communities import weighted_projection
+    from graph_rag_agent_spark.operators.pagerank import pagerank_projection
+
+    res = _sf_canonical(spark, sf_dir)
+    proj = weighted_projection(res.edges)
+    return pagerank_projection(
+        proj,
+        damping=_PAGERANK_DAMPING,
+        n_iter=_PAGERANK_ITERS,
+        reset=_sf_seed_entities(spark, sf_dir),
+    )
+
+
 # the synthetic corpus carries no real PII, so the redaction query plants
 # deterministic PII (email + phone + IPv4 derived from doc_id) in BOTH
 # engines and checks the scrub + counts byte-for-byte
@@ -952,6 +991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "blocklist_filter": _q_blocklist_filter,
         "graph_structure_report": _q_graph_structure_report,
+        "entity_pagerank": _q_entity_pagerank,
+        "seed_ppr": _q_seed_ppr,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1228,6 +1269,79 @@ _SUMMARY_SELECT = f"""
                      coalesce(array_to_string(e.edge_descs, '; '), '')
                        AS full_content
             FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id"""
+
+
+_PROJ_PR_CTES = """
+            , proj AS (
+                SELECT least(subj, obj) AS s, greatest(subj, obj) AS d,
+                       count(*)::double AS weight
+                FROM canon_triples WHERE subj <> obj
+                GROUP BY least(subj, obj), greatest(subj, obj)
+            ), g AS (
+                SELECT s AS src, d AS dst, weight FROM proj
+                UNION ALL
+                SELECT d AS src, s AS dst, weight FROM proj
+            ), outw AS (
+                SELECT src, SUM(weight) AS tw FROM g GROUP BY src
+            ), gn AS (
+                SELECT g.src, g.dst, g.weight / o.tw AS nw
+                FROM g JOIN outw o ON o.src = g.src
+            ), verts AS (SELECT DISTINCT src AS id FROM g)
+"""
+
+
+def _pagerank_oracle_sql(personalized: bool) -> str:
+    """DuckDB twin of operators/pagerank.pagerank_projection: the damped
+    iterations are UNROLLED (one contribution-join + rank-update CTE pair
+    per iteration — the operator's recurrence verbatim, normalized edge
+    weights precomputed in `gn` exactly as the Spark side does so the float
+    op order matches). The symmetrized projection has no dangling vertices,
+    so the dangling term is identically zero in both engines. Constants are
+    emitted from the SAME Python arithmetic the operator runs
+    ((1-d)+d·0, d) so the doubles agree bit-for-bit."""
+    d = _PAGERANK_DAMPING
+    reset_scale = (1.0 - d) + d * 0.0
+    if personalized:
+        base = f"""
+            , pseeds AS (
+                SELECT s.id FROM seeds s JOIN verts v ON v.id = s.id
+            ), base AS (
+                SELECT v.id,
+                       CASE WHEN p.id IS NOT NULL
+                            THEN 1.0 / (SELECT COUNT(*) FROM pseeds)
+                            ELSE 0.0 END AS m
+                FROM verts v LEFT JOIN pseeds p ON p.id = v.id
+            )"""
+        seed_ctes = _SEED_CTES
+    else:
+        base = """
+            , base AS (
+                SELECT id, 1.0 / (SELECT COUNT(*) FROM verts) AS m FROM verts
+            )"""
+        seed_ctes = ""
+    sweeps, prev = "", "pr0"
+    for k in range(1, _PAGERANK_ITERS + 1):
+        sweeps += f"""
+            , c{k} AS (
+                SELECT gn.dst AS id, SUM(p.r * gn.nw) AS c
+                FROM gn JOIN {prev} p ON p.id = gn.src
+                GROUP BY gn.dst
+            ), pr{k} AS (
+                SELECT b.id, b.m * {reset_scale!r} + {d!r} * COALESCE(c.c, 0.0) AS r
+                FROM base b LEFT JOIN c{k} c ON c.id = b.id
+            )"""
+        prev = f"pr{k}"
+    return (
+        _CANON_CTE
+        + _PROJ_PR_CTES
+        + seed_ctes
+        + base
+        + """
+            , pr0 AS (SELECT id, m AS r FROM base)"""
+        + sweeps
+        + f"""
+        SELECT id AS entity_id, round(r, 6) AS pagerank FROM {prev}"""
+    )
 
 
 def _sllpa_oracle_sql() -> str:
@@ -1993,6 +2107,8 @@ def oracle_sql() -> dict[str, str]:
                              / (d.degree * (d.degree - 1))
                         ELSE 0.0 END AS clustering
             FROM vdeg d LEFT JOIN tcnt c ON c.id = d.id""",
+        "entity_pagerank": _pagerank_oracle_sql(personalized=False),
+        "seed_ppr": _pagerank_oracle_sql(personalized=True),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "seed_relationships",
     "graph_structure_report",
     "triangle_counts",
+    "entity_pagerank",
+    "seed_ppr",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

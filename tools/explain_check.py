@@ -158,6 +158,25 @@ def main():
         if bad in p13:
             failures.append(f"semantic_dedup: {bad} in the plan")
 
+    # 14. pagerank: every per-iteration join is an equi hash/merge join
+    # over the checkpointed rank/edge frames — no quadratic product, no
+    # Python eval, and the normalized edge table enters as a checkpointed
+    # RDD scan (normalized ONCE, not re-derived per iteration)
+    from graph_rag_agent_spark.operators.pagerank import pagerank
+
+    pr_verts = spark.range(0, 1000).select(F.col("id").cast("string").alias("id"))
+    pr_edges = spark.range(0, 3000).select(
+        (F.col("id") % 1000).cast("string").alias("src"),
+        ((F.col("id") * 7 + 1) % 1000).cast("string").alias("dst"),
+    )
+    p14 = plan_of(pagerank(pr_verts, pr_edges, n_iter=2))
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
+                "ArrowEvalPython"):
+        if bad in p14:
+            failures.append(f"pagerank: {bad} in the iteration plan")
+    if "Scan ExistingRDD" not in p14:
+        failures.append("pagerank: iteration inputs are not checkpointed RDD scans")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
