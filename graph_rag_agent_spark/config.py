@@ -80,6 +80,12 @@ CC_DRIVER_THRESHOLD = 1_000_000  # ≤ this many edges → driver union-find (on
 # the distributed blocked-join + DataFrame-CC path runs.
 CANON_DRIVER_THRESHOLD = 200_000
 
+# ---- pagerank -----------------------------------------------------------------
+# ≤ this many edges → driver numpy power iteration (one job instead of
+# ~2 actions per damped iteration); above it, the distributed two-shuffle
+# loop runs. Same size-adaptive pattern as CC_DRIVER_THRESHOLD.
+PAGERANK_DRIVER_THRESHOLD = 1_000_000
+
 # ---- misc ---------------------------------------------------------------------
 SEED = 42
 

@@ -43,7 +43,12 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
+from graph_rag_agent_spark.config import PAGERANK_DRIVER_THRESHOLD
 from graph_rag_agent_spark.functions.iterative import loop_checkpoint
+
+# which path the last pagerank() call took — observability for tests,
+# same pattern as connected_components.LAST_DISTRIBUTED_ROUNDS
+LAST_PATH = ""
 
 
 def pagerank(
@@ -58,6 +63,7 @@ def pagerank(
     dst_col: str = "dst",
     weight_col: Optional[str] = None,
     reset: Optional[DataFrame] = None,
+    driver_threshold: int = PAGERANK_DRIVER_THRESHOLD,
 ) -> DataFrame:
     """→ (id, pagerank) over the DIRECTED graph ``edges``; symmetrize first
     for an undirected projection (see ``pagerank_projection``).
@@ -68,7 +74,15 @@ def pagerank(
     summed absolute rank change falls below it (still capped at
     ``n_iter``); leave None for the fixed-iteration deterministic form the
     SQL oracle mirrors.
-    """
+
+    Size-adaptive (the CC/canonicalize pattern): when both the edge and
+    vertex tables fit under ``driver_threshold`` rows the whole power
+    iteration runs as one numpy kernel on the driver (one probe job per
+    table instead of ~2 actions per damped iteration — at entity-graph
+    sizes the distributed loop is pure scheduler overhead); above it the
+    distributed two-shuffle-per-iteration loop runs. Both paths implement
+    the identical recurrence (equality pytest-gated)."""
+    global LAST_PATH
     verts = vertices.select(F.col(vertex_col).alias("id")).distinct()
     w = (
         F.col(weight_col).cast("double")
@@ -78,6 +92,31 @@ def pagerank(
     g = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
     )
+
+    # counts-first fit probe (the canonicalize pattern): decide with
+    # bounded limit().count() jobs, collect rows only when fitting — the
+    # non-fit path never materializes driver_threshold rows on the driver
+    if (
+        g.limit(driver_threshold + 1).count() <= driver_threshold
+        and verts.limit(driver_threshold + 1).count() <= driver_threshold
+    ):
+        seed_rows = None
+        if reset is not None:
+            seed_rows = [
+                r[0] for r in reset.select(reset.columns[0]).distinct().collect()
+            ]
+        LAST_PATH = "driver"
+        return _driver_pagerank(
+            vertices.sparkSession,
+            [r["id"] for r in verts.collect()],
+            [(r["src"], r["dst"], r["w"]) for r in g.collect()],
+            seed_rows,
+            damping=damping,
+            n_iter=n_iter,
+            tol=tol,
+        )
+    LAST_PATH = "distributed"
+
     # out-weight normalization, once: nw = w / W(src)
     outw = g.groupBy("src").agg(F.sum("w").alias("tw"))
     g_norm = (
@@ -157,6 +196,73 @@ def pagerank(
         else:
             ranks = new_ranks
     return ranks.withColumnRenamed("rank", "pagerank")
+
+
+def _driver_pagerank(
+    spark,
+    vert_ids,
+    edge_rows,
+    seed_ids,
+    *,
+    damping: float,
+    n_iter: int,
+    tol: Optional[float],
+) -> DataFrame:
+    """numpy power-iteration kernel — the distributed loop's recurrence
+    verbatim: out-weight over ALL of a vertex's edges (even to non-vertex
+    endpoints, mirroring the join semantics), contributions only along
+    vertex→vertex edges, dangling = vertices that appear as src of NO edge,
+    their mass re-entering through the teleport vector."""
+    import numpy as np
+
+    idx = {v: i for i, v in enumerate(vert_ids)}
+    n = len(vert_ids)
+    if n == 0:
+        return spark.createDataFrame([], "id string, pagerank double")
+
+    tw: dict = {}
+    for s, _, w in edge_rows:
+        tw[s] = tw.get(s, 0.0) + float(w)
+    kept = [
+        (idx[s], idx[d], float(w) / tw[s])
+        for s, d, w in edge_rows
+        if s in idx and d in idx
+    ]
+    if kept:
+        src_i = np.array([k[0] for k in kept], dtype=np.int64)
+        dst_i = np.array([k[1] for k in kept], dtype=np.int64)
+        nw = np.array([k[2] for k in kept], dtype=np.float64)
+    else:
+        src_i = dst_i = np.array([], dtype=np.int64)
+        nw = np.array([], dtype=np.float64)
+
+    m = np.zeros(n)
+    if seed_ids is not None:
+        seeds_in = [s for s in set(seed_ids) if s in idx]
+        if not seeds_in:
+            raise ValueError("personalized pagerank: no seed is a vertex")
+        m[[idx[s] for s in seeds_in]] = 1.0 / len(seeds_in)
+    else:
+        m[:] = 1.0 / n
+
+    no_out = np.array([v not in tw for v in vert_ids])
+    has_dangling = bool(no_out.any())
+    d = float(damping)
+    r = m.copy()
+    for _ in range(n_iter):
+        dangling = float(r[no_out].sum()) if has_dangling else 0.0
+        contrib = np.zeros(n)
+        if kept:
+            np.add.at(contrib, dst_i, r[src_i] * nw)
+        new_r = m * ((1.0 - d) + d * dangling) + d * contrib
+        delta = float(np.abs(new_r - r).sum())
+        r = new_r
+        if tol is not None and delta < tol:
+            break
+    return spark.createDataFrame(
+        [(v, float(r[i])) for i, v in enumerate(vert_ids)],
+        "id string, pagerank double",
+    )
 
 
 def pagerank_projection(

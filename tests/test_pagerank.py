@@ -46,7 +46,9 @@ def test_numpy_power_iteration_parity(spark):
             rows.append((f"v{s:02d}", f"v{d:02d}", float(rng.integers(1, 5))))
     e = spark.createDataFrame(rows, "src string, dst string, w double")
     v = spark.createDataFrame([(f"v{i:02d}",) for i in range(n)], "id string")
-    got = _ranks(pagerank(v, e, n_iter=8, weight_col="w"))
+    # driver_threshold=0 forces the DISTRIBUTED loop — this test is the
+    # distributed path's parity gate against independent numpy power iteration
+    got = _ranks(pagerank(v, e, n_iter=8, weight_col="w", driver_threshold=0))
 
     ids = sorted({f"v{i:02d}" for i in range(n)})
     idx = {x: i for i, x in enumerate(ids)}
@@ -77,6 +79,31 @@ def test_personalized_localizes_to_seeds(spark):
     out = _ranks(pagerank(v, e, n_iter=15, reset=seeds))
     assert min(out[q] for q in "abc") > max(out[q] for q in "xyz")
     assert sum(out.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # same random weighted digraph through BOTH paths — identical ranks
+    from graph_rag_agent_spark.operators import pagerank as prmod
+
+    rng = np.random.default_rng(11)
+    n = 20
+    rows = []
+    for _ in range(80):
+        s, d = rng.integers(0, n, 2)
+        if s != d:
+            rows.append((f"u{s:02d}", f"u{d:02d}", float(rng.integers(1, 4))))
+    e = spark.createDataFrame(rows, "src string, dst string, w double")
+    v = spark.createDataFrame([(f"u{i:02d}",) for i in range(n)], "id string")
+    seeds = spark.createDataFrame([("u00",), ("u01",)], "id string")
+    for reset in (None, seeds):
+        drv = _ranks(pagerank(v, e, n_iter=5, weight_col="w", reset=reset))
+        assert prmod.LAST_PATH == "driver"
+        dist = _ranks(
+            pagerank(v, e, n_iter=5, weight_col="w", reset=reset, driver_threshold=0)
+        )
+        assert prmod.LAST_PATH == "distributed"
+        for k in drv:
+            assert drv[k] == pytest.approx(dist[k], abs=1e-12)
 
 
 def test_personalized_requires_real_seed(spark):

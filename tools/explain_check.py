@@ -169,7 +169,7 @@ def main():
         (F.col("id") % 1000).cast("string").alias("src"),
         ((F.col("id") * 7 + 1) % 1000).cast("string").alias("dst"),
     )
-    p14 = plan_of(pagerank(pr_verts, pr_edges, n_iter=2))
+    p14 = plan_of(pagerank(pr_verts, pr_edges, n_iter=2, driver_threshold=0))
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython",
                 "ArrowEvalPython"):
         if bad in p14:
