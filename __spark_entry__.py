@@ -546,6 +546,23 @@ def _q_seed_relationships(spark, sf_dir):
     return pick(inside, "inside").unionByName(pick(outside, "outside"))
 
 
+_SEED_HOPS = 3
+
+
+def _q_seed_hop_distance(spark, sf_dir):
+    """Q1 multi-hop extension: minimum hop count from the seed entities over
+    the co-occurrence projection, bounded at 3 — the k-hop evidence
+    neighborhood the 1-hop seed_relationships branch generalizes to."""
+    from graph_rag_agent_spark.operators.communities import weighted_projection
+    from graph_rag_agent_spark.operators.search import seed_hop_distance
+
+    res = _sf_canonical(spark, sf_dir)
+    proj = weighted_projection(res.edges)
+    return seed_hop_distance(
+        proj, _sf_seed_entities(spark, sf_dir), max_hops=_SEED_HOPS
+    )
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -993,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_structure_report": _q_graph_structure_report,
         "entity_pagerank": _q_entity_pagerank,
         "seed_ppr": _q_seed_ppr,
+        "seed_hop_distance": _q_seed_hop_distance,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1341,6 +1359,37 @@ def _pagerank_oracle_sql(personalized: bool) -> str:
         + sweeps
         + f"""
         SELECT id AS entity_id, round(r, 6) AS pagerank FROM {prev}"""
+    )
+
+
+def _seed_hop_oracle_sql() -> str:
+    """DuckDB twin of operators/search.seed_hop_distance: the bounded
+    relaxation rounds are UNROLLED (one step-join + min-fold CTE pair per
+    hop) over the symmetrized projection CTE `g` — pure integer arithmetic,
+    no float-order concerns."""
+    sweeps, prev = "", "d0"
+    for k in range(1, _SEED_HOPS + 1):
+        sweeps += f"""
+            , s{k} AS (
+                SELECT g.src AS id, d.hops + 1 AS hops
+                FROM g JOIN {prev} d ON d.id = g.dst
+            ), d{k} AS (
+                SELECT id, MIN(hops) AS hops FROM (
+                    SELECT id, hops FROM {prev}
+                    UNION ALL
+                    SELECT id, hops FROM s{k}
+                ) GROUP BY id
+            )"""
+        prev = f"d{k}"
+    return (
+        _CANON_CTE
+        + _PROJ_PR_CTES
+        + _SEED_CTES
+        + """
+            , d0 AS (SELECT id, 0 AS hops FROM seeds)"""
+        + sweeps
+        + f"""
+        SELECT id AS entity_id, hops FROM {prev}"""
     )
 
 
@@ -2109,6 +2158,7 @@ def oracle_sql() -> dict[str, str]:
             FROM vdeg d LEFT JOIN tcnt c ON c.id = d.id""",
         "entity_pagerank": _pagerank_oracle_sql(personalized=False),
         "seed_ppr": _pagerank_oracle_sql(personalized=True),
+        "seed_hop_distance": _seed_hop_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "triangle_counts",
     "entity_pagerank",
     "seed_ppr",
+    "seed_hop_distance",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

@@ -110,6 +110,80 @@ def seed_relationships(
     )
 
 
+def seed_hop_distance(
+    projection: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """→ (entity_id, hops): minimum hop count from ANY seed over the
+    undirected weighted projection ``(s, d, weight)``, bounded at
+    ``max_hops`` — the multi-hop generalization of Q1's 1-hop
+    seed-relationship retrieval (local_search.py:86-137): the k-hop
+    evidence neighborhood around the query's seed entities. Unreached
+    vertices are absent (not NULL rows); seeds themselves are hop 0 even
+    when isolated.
+
+    Deterministic bounded-round relaxation (the SQL oracle unrolls the
+    same ``max_hops`` rounds): dist ← min(dist, neighbor dist + 1), each
+    round one key-partitioned join + one min-aggregation over the distance
+    table, ``loop_checkpoint`` per round (stats-compounding fix). Bounded
+    rounds means bounded shuffles at any graph size — hop limits in
+    retrieval are small constants. Size-adaptive like CC/pagerank: under
+    ``driver_threshold`` edges (counts-first probe) the BFS runs as one
+    driver kernel; equality across paths is pytest-gated."""
+    from graph_rag_agent_spark.functions.iterative import loop_checkpoint
+
+    sym = projection.select(
+        F.col("s").alias("a"), F.col("d").alias("b")
+    ).unionByName(projection.select(F.col("d").alias("a"), F.col("s").alias("b")))
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("id"), F.lit(0).alias("hops")
+    ).distinct()
+
+    if (
+        projection.limit(driver_threshold + 1).count() <= driver_threshold
+    ):
+        # driver BFS: adjacency dict + frontier expansion, one job to fetch
+        adj: dict = {}
+        for r in projection.select("s", "d").collect():
+            adj.setdefault(r["s"], []).append(r["d"])
+            adj.setdefault(r["d"], []).append(r["s"])
+        best = {r["id"]: 0 for r in dist.collect()}
+        frontier = list(best)
+        for h in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in best:
+                        best[v] = h
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        spark = projection.sparkSession
+        if best:
+            return spark.createDataFrame(
+                sorted(best.items()), "entity_id string, hops int"
+            )
+        return spark.createDataFrame([], "entity_id string, hops int")
+
+    sym = loop_checkpoint(sym)
+    dist = loop_checkpoint(dist)
+    for _ in range(max_hops):
+        stepped = (
+            sym.join(dist.withColumnRenamed("id", "b"), on="b")
+            .select(F.col("a").alias("id"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(stepped)
+            .groupBy("id")
+            .agg(F.min("hops").alias("hops"))
+            .transform(loop_checkpoint)
+        )
+    return dist.select(F.col("id").alias("entity_id"), F.col("hops").cast("int"))
+
+
 def global_search_map(
     summaries: DataFrame, level: int = 0, map_fn=None
 ) -> DataFrame:
