@@ -563,6 +563,24 @@ def _q_seed_hop_distance(spark, sf_dir):
     )
 
 
+_NBR_FANOUT = 3
+_NBR_HOPS = 2
+
+
+def _q_seed_neighborhood_sample(spark, sf_dir):
+    """Fan-out-bounded 2-hop expansion from the Q1 seeds (top-3 neighbors
+    per frontier vertex by weight desc, id asc) — the degree-skew-safe
+    form of k-hop evidence retrieval."""
+    from graph_rag_agent_spark.operators.communities import weighted_projection
+    from graph_rag_agent_spark.operators.search import sampled_neighborhood
+
+    res = _sf_canonical(spark, sf_dir)
+    proj = weighted_projection(res.edges)
+    return sampled_neighborhood(
+        proj, _sf_seed_entities(spark, sf_dir), fanout=_NBR_FANOUT, hops=_NBR_HOPS
+    )
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -1011,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pagerank": _q_entity_pagerank,
         "seed_ppr": _q_seed_ppr,
         "seed_hop_distance": _q_seed_hop_distance,
+        "seed_neighborhood_sample": _q_seed_neighborhood_sample,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1390,6 +1409,48 @@ def _seed_hop_oracle_sql() -> str:
         + sweeps
         + f"""
         SELECT id AS entity_id, hops FROM {prev}"""
+    )
+
+
+def _neighborhood_sample_oracle_sql() -> str:
+    """DuckDB twin of operators/search.sampled_neighborhood: the bounded
+    hops are UNROLLED — per hop one frontier join, one per-src row_number
+    window with the operator's (weight desc, dst asc) ordering, and one
+    anti-join frontier/visited update. Deterministic because (src, dst) is
+    unique in the grouped projection."""
+    hops_sql, prev_f, prev_v = "", "f0", "vis0"
+    for k in range(1, _NBR_HOPS + 1):
+        hops_sql += f"""
+            , samp{k} AS (
+                SELECT src, dst, {k} AS hop, weight FROM (
+                    SELECT g.src, g.dst, g.weight,
+                           row_number() OVER (
+                               PARTITION BY g.src
+                               ORDER BY g.weight DESC, g.dst
+                           ) AS rn
+                    FROM g JOIN {prev_f} f ON f.id = g.src
+                ) WHERE rn <= {_NBR_FANOUT}
+            ), f{k} AS (
+                SELECT DISTINCT s.dst AS id FROM samp{k} s
+                LEFT JOIN {prev_v} v ON v.id = s.dst WHERE v.id IS NULL
+            ), vis{k} AS (
+                SELECT id FROM {prev_v} UNION ALL SELECT id FROM f{k}
+            )"""
+        prev_f, prev_v = f"f{k}", f"vis{k}"
+    union = "\n            UNION ALL\n            ".join(
+        f"SELECT src, dst, hop, weight FROM samp{k}"
+        for k in range(1, _NBR_HOPS + 1)
+    )
+    return (
+        _CANON_CTE
+        + _PROJ_PR_CTES
+        + _SEED_CTES
+        + """
+            , f0 AS (SELECT id FROM seeds)
+            , vis0 AS (SELECT id FROM seeds)"""
+        + hops_sql
+        + f"""
+        {union}"""
     )
 
 
@@ -2159,6 +2220,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": _pagerank_oracle_sql(personalized=False),
         "seed_ppr": _pagerank_oracle_sql(personalized=True),
         "seed_hop_distance": _seed_hop_oracle_sql(),
+        "seed_neighborhood_sample": _neighborhood_sample_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "entity_pagerank",
     "seed_ppr",
     "seed_hop_distance",
+    "seed_neighborhood_sample",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

@@ -184,6 +184,64 @@ def seed_hop_distance(
     return dist.select(F.col("id").alias("entity_id"), F.col("hops").cast("int"))
 
 
+def sampled_neighborhood(
+    projection: DataFrame,
+    seeds: DataFrame,
+    fanout: int = 3,
+    hops: int = 2,
+) -> DataFrame:
+    """→ (src, dst, hop, weight): deterministic fan-out-bounded expansion of
+    the seed entities over the undirected projection — per hop, each
+    frontier vertex keeps only its top-``fanout`` neighbors by
+    (weight desc, id asc), and only previously-unvisited sampled vertices
+    join the next frontier. The GraphSAGE-style sampling discipline that
+    makes k-hop expansion safe at 10⁹ vertices: a hub with 10⁷ neighbors
+    contributes ``fanout`` rows, not 10⁷, so the frontier is bounded by
+    |seeds|·fanoutᵏ regardless of degree skew (vs ``seed_hop_distance``,
+    which is exact but frontier-unbounded).
+
+    Per hop: one key-partitioned join of the edge table with the (small)
+    frontier + one per-src window (PARTITION BY src — never a global
+    window) + one anti-join against the visited set; ``loop_checkpoint``
+    on frontier/visited. Deterministic (ties by neighbor id; (src, dst)
+    is unique in the grouped projection), so the SQL oracle unrolls the
+    same hops."""
+    from graph_rag_agent_spark.functions.iterative import loop_checkpoint
+
+    sym = projection.select(
+        F.col("s").alias("src"), F.col("d").alias("dst"), "weight"
+    ).unionByName(
+        projection.select(F.col("d").alias("src"), F.col("s").alias("dst"), "weight")
+    )
+    frontier = seeds.select(F.col(seeds.columns[0]).alias("id")).distinct()
+    frontier = loop_checkpoint(frontier)
+    visited = frontier
+    spark = projection.sparkSession
+    sampled = spark.createDataFrame(
+        [], "src string, dst string, hop int, weight double"
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    for k in range(1, hops + 1):
+        cand = sym.join(
+            F.broadcast(frontier.withColumnRenamed("id", "src")), on="src"
+        )
+        samp = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= fanout)
+            .select("src", "dst", F.lit(k).alias("hop"), "weight")
+            .transform(loop_checkpoint)
+        )
+        sampled = sampled.unionByName(samp)
+        frontier = (
+            samp.select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited, on="id", how="left_anti")
+            .transform(loop_checkpoint)
+        )
+        visited = loop_checkpoint(visited.unionByName(frontier))
+    return sampled
+
+
 def global_search_map(
     summaries: DataFrame, level: int = 0, map_fn=None
 ) -> DataFrame:
