@@ -581,6 +581,46 @@ def _q_seed_neighborhood_sample(spark, sf_dir):
     )
 
 
+def _q_retrieval_eval(spark, sf_dir):
+    """Rule-based retrieval precision + utilization (reference
+    evaluation/metrics/retrieval_metrics.py:100-131,280-316 — the non-LLM
+    branches) over a deterministic eval fixture: per Q1 seed entity,
+    retrieved = its top-3 projection neighbors by (weight desc, id),
+    reference/gold = its top-4 neighbors by (global degree desc, id) —
+    partially-overlapping sets so both match rules and the score floors
+    are exercised."""
+    from pyspark.sql import Window
+
+    from graph_rag_agent_spark.operators.canonicalize import degree_table
+    from graph_rag_agent_spark.operators.communities import weighted_projection
+    from graph_rag_agent_spark.operators.retrieval_metrics import retrieval_metrics
+
+    res = _sf_canonical(spark, sf_dir)
+    proj = weighted_projection(res.edges)
+    g = proj.select(F.col("s").alias("src"), F.col("d").alias("dst"), "weight").unionByName(
+        proj.select(F.col("d").alias("src"), F.col("s").alias("dst"), "weight")
+    )
+    seeds = _sf_seed_entities(spark, sf_dir).withColumnRenamed("entity_id", "src")
+    cand = g.join(F.broadcast(seeds), on="src")
+    w_retr = Window.partitionBy("src").orderBy(F.desc("weight"), F.asc("dst"))
+    retr = (
+        cand.withColumn("_rn", F.row_number().over(w_retr))
+        .filter(F.col("_rn") <= 3)
+        .groupBy(F.col("src").alias("query_id"))
+        .agg(F.collect_list("dst").alias("retrieved"))
+    )
+    deg = degree_table(res.edges).withColumnRenamed("entity_id", "dst")
+    w_ref = Window.partitionBy("src").orderBy(F.desc("degree"), F.asc("dst"))
+    refs = (
+        cand.join(deg, on="dst")
+        .withColumn("_rn", F.row_number().over(w_ref))
+        .filter(F.col("_rn") <= 4)
+        .groupBy(F.col("src").alias("query_id"))
+        .agg(F.collect_list("dst").alias("reference"))
+    )
+    return retrieval_metrics(retr.join(refs, on="query_id"))
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -1030,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_ppr": _q_seed_ppr,
         "seed_hop_distance": _q_seed_hop_distance,
         "seed_neighborhood_sample": _q_seed_neighborhood_sample,
+        "retrieval_eval": _q_retrieval_eval,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1451,6 +1492,82 @@ def _neighborhood_sample_oracle_sql() -> str:
         + hops_sql
         + f"""
         {union}"""
+    )
+
+
+def _retrieval_eval_oracle_sql() -> str:
+    """DuckDB twin of operators/retrieval_metrics.retrieval_metrics over the
+    seed-neighbor eval fixture: the array higher-order rules become
+    unnest-joins — per (query, ref) a MAX over retrieved strings for the
+    substring and digit-run rules, a token-unnest join for the utilization
+    fallback — with the reference's exact score arithmetic in ::double."""
+    return (
+        _CANON_CTE
+        + _PROJ_PR_CTES
+        + _SEED_CTES
+        + """
+            , retr AS (
+                SELECT src AS query_id, lower(dst) AS retr FROM (
+                    SELECT g.src, g.dst,
+                           row_number() OVER (
+                               PARTITION BY g.src
+                               ORDER BY g.weight DESC, g.dst
+                           ) AS rn
+                    FROM g JOIN seeds s ON s.id = g.src
+                ) WHERE rn <= 3
+            ), refs AS (
+                SELECT src AS query_id, lower(dst) AS ref FROM (
+                    SELECT g.src, g.dst,
+                           row_number() OVER (
+                               PARTITION BY g.src
+                               ORDER BY c.degree DESC, g.dst
+                           ) AS rn
+                    FROM g JOIN seeds s ON s.id = g.src
+                    JOIN cdeg c ON c.id = g.dst
+                ) WHERE rn <= 4
+            ), per_ref AS (
+                SELECT r.query_id, r.ref,
+                       MAX(CASE WHEN contains(t.retr, r.ref) THEN 1 ELSE 0 END) AS direct,
+                       MAX(CASE WHEN regexp_extract(r.ref, '\\d+', 0) <> ''
+                                 AND contains(t.retr, regexp_extract(r.ref, '\\d+', 0))
+                                THEN 1 ELSE 0 END) AS num
+                FROM refs r JOIN retr t USING (query_id)
+                GROUP BY r.query_id, r.ref
+            ), agg AS (
+                SELECT query_id,
+                       greatest(SUM(direct), SUM(num))::int AS matched,
+                       COUNT(*) AS n_ref
+                FROM per_ref GROUP BY query_id
+            ), joinedr AS (
+                SELECT query_id, string_agg(retr, ' ') AS combined
+                FROM retr GROUP BY query_id
+            ), partials AS (
+                SELECT DISTINCT rt.query_id
+                FROM (
+                    SELECT r.query_id, t.tok
+                    FROM refs r,
+                         UNNEST(string_split_regex(r.ref, '\\s+')) AS t(tok)
+                    WHERE length(t.tok) > 3
+                ) rt JOIN joinedr j USING (query_id)
+                WHERE contains(j.combined, rt.tok)
+            )
+        SELECT a.query_id,
+               a.matched AS prec_matched,
+               round(CASE WHEN a.matched > 0
+                          THEN greatest(0.3::double,
+                               0.3::double + 0.7::double * a.matched::double
+                                 / a.n_ref::double)
+                          ELSE 0.3::double END, 6) AS "precision",
+               (CASE WHEN a.matched > 0 THEN a.matched
+                     WHEN p.query_id IS NOT NULL THEN 1 ELSE 0 END)::int
+                 AS util_matched,
+               round(CASE WHEN a.matched > 0
+                          THEN greatest(0.3::double,
+                               0.3::double + 0.7::double * a.matched::double
+                                 / a.n_ref::double)
+                          WHEN p.query_id IS NOT NULL THEN 0.4::double
+                          ELSE 0.3::double END, 6) AS utilization
+        FROM agg a LEFT JOIN partials p ON p.query_id = a.query_id"""
     )
 
 
@@ -2221,6 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "seed_ppr": _pagerank_oracle_sql(personalized=True),
         "seed_hop_distance": _seed_hop_oracle_sql(),
         "seed_neighborhood_sample": _neighborhood_sample_oracle_sql(),
+        "retrieval_eval": _retrieval_eval_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

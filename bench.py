@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "seed_ppr",
     "seed_hop_distance",
     "seed_neighborhood_sample",
+    "retrieval_eval",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

@@ -1,0 +1,80 @@
+"""retrieval_metrics: the reference's rule arithmetic
+(evaluation/metrics/retrieval_metrics.py:100-131, 280-316) on crafted
+samples exercising each branch — substring rule, digit-run rule, score
+floor, utilization partial-token fallback, and case-insensitivity."""
+
+import pytest
+
+from graph_rag_agent_spark.operators.retrieval_metrics import retrieval_metrics
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(
+        rows, "query_id string, retrieved array<string>, reference array<string>"
+    )
+    return {r["query_id"]: r.asDict() for r in retrieval_metrics(df).collect()}
+
+
+def test_substring_rule_and_score(spark):
+    out = _run(
+        spark,
+        [
+            # 2 of 4 refs are substrings of some retrieved string
+            ("q1", ["alpha beta", "gamma"], ["alpha", "gamma", "delta", "zeta"]),
+            # full match → 0.3 + 0.7·1 = 1.0
+            ("q2", ["x", "y"], ["x", "y"]),
+        ],
+    )
+    assert out["q1"]["prec_matched"] == 2
+    assert out["q1"]["precision"] == pytest.approx(0.3 + 0.7 * 2 / 4)
+    assert out["q2"]["precision"] == pytest.approx(1.0)
+    # matched > 0 → utilization equals precision (same rule, same score)
+    assert out["q1"]["utilization"] == out["q1"]["precision"]
+
+
+def test_digit_rule_takes_max(spark):
+    # direct substring matches 0 refs, but both digit-runs appear → num rule
+    out = _run(
+        spark,
+        [("q", ["chunk 42 intro", "see 7"], ["doc42", "section7", "other"])],
+    )
+    assert out["q"]["prec_matched"] == 2
+    assert out["q"]["precision"] == pytest.approx(0.3 + 0.7 * 2 / 3)
+
+
+def test_floor_and_partial_token_fallback(spark):
+    out = _run(
+        spark,
+        [
+            # nothing matches at all → 0.3 / 0.3
+            ("cold", ["aaa"], ["zzzz qqqq"]),
+            # no rule match, but the >3-char token 'zzzz' appears in the
+            # joined retrieved text → precision floor 0.3, utilization 0.4
+            ("warm", ["xx zzzz yy"], ["zzzz qqqq"]),
+        ],
+    )
+    assert out["cold"]["precision"] == pytest.approx(0.3)
+    assert out["cold"]["util_matched"] == 0
+    assert out["cold"]["utilization"] == pytest.approx(0.3)
+    assert out["warm"]["prec_matched"] == 0
+    assert out["warm"]["precision"] == pytest.approx(0.3)
+    assert out["warm"]["util_matched"] == 1
+    assert out["warm"]["utilization"] == pytest.approx(0.4)
+
+
+def test_case_insensitive(spark):
+    out = _run(spark, [("q", ["ALPHA one"], ["Alpha"])])
+    assert out["q"]["prec_matched"] == 1
+    assert out["q"]["precision"] == pytest.approx(1.0)
+
+
+def test_short_tokens_do_not_trigger_fallback(spark):
+    # all ref tokens ≤ 3 chars → fallback stays off (reference filters >3)
+    out = _run(spark, [("q", ["ab cd ef"], ["ab cd"])])
+    # note: 'ab cd' IS a substring of 'ab cd ef' → direct rule fires; use
+    # a ref that is not a substring
+    out2 = _run(spark, [("q", ["ab xx ef"], ["ab cd"])])
+    assert out2["q"]["prec_matched"] == 0
+    assert out2["q"]["util_matched"] == 0
+    assert out2["q"]["utilization"] == pytest.approx(0.3)
+    assert out["q"]["prec_matched"] == 1

@@ -177,6 +177,14 @@ def main():
     if "Scan ExistingRDD" not in p14:
         failures.append("pagerank: iteration inputs are not checkpointed RDD scans")
 
+    # 15. retrieval metrics: the rule arithmetic is array higher-order
+    # functions over in-row arrays — no Python eval, no quadratic join
+    p15 = plan_of(entry_mod.queries()["retrieval_eval"](spark, sf))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        if bad in p15:
+            failures.append(f"retrieval_eval: {bad} in the plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
