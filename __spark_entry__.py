@@ -621,6 +621,28 @@ def _q_retrieval_eval(spark, sf_dir):
     return retrieval_metrics(retr.join(refs, on="query_id"))
 
 
+def _q_chunk_utilization(spark, sf_dir):
+    """ChunkUtilization rule branch (reference retrieval_metrics.py:430-537)
+    over a deterministic fixture: the 5 smallest-doc_id documents act as
+    referenced chunks, the 'answer' is each doc's first 150 chars (so the
+    phrase-match ratio is a real fraction), and every sample also cites one
+    absent chunk id (exercising the missing-text exclusion)."""
+    from graph_rag_agent_spark.operators.retrieval_metrics import chunk_utilization
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    five = docs.orderBy("doc_id").limit(5)
+    samples = five.select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 150).alias("answer"),
+        F.array(
+            F.col("doc_id"), F.concat(F.lit("absent-"), F.col("doc_id"))
+        ).alias("chunk_ids"),
+    )
+    return chunk_utilization(samples, docs.withColumnRenamed("doc_id", "chunk_id"))
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -1071,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_hop_distance": _q_seed_hop_distance,
         "seed_neighborhood_sample": _q_seed_neighborhood_sample,
         "retrieval_eval": _q_retrieval_eval,
+        "chunk_utilization": _q_chunk_utilization,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1569,6 +1592,54 @@ def _retrieval_eval_oracle_sql() -> str:
                           ELSE 0.3::double END, 6) AS utilization
         FROM agg a LEFT JOIN partials p ON p.query_id = a.query_id"""
     )
+
+
+def _chunk_utilization_oracle_sql() -> str:
+    """DuckDB twin of operators/retrieval_metrics.chunk_utilization on the
+    five-smallest-docs fixture: regexp_extract_all + list_distinct +
+    list_filter reproduce the phrase extraction and lowercased-substring
+    match; the absent chunk id drops via the NULL-text left join exactly
+    as the Spark side's count("_ratio") excludes it."""
+    pattern = "\\b[\\w一-龥]{4,}\\b"
+    return f"""
+        WITH five AS (
+            SELECT doc_id::varchar AS doc_id, text
+            FROM documents ORDER BY doc_id::varchar LIMIT 5
+        ), samples AS (
+            SELECT doc_id AS query_id,
+                   lower(substr(text, 1, 150)) AS ans,
+                   [doc_id, 'absent-' || doc_id] AS chunk_ids
+            FROM five
+        ), exploded AS (
+            SELECT s.query_id, s.ans, u.chunk_id
+            FROM samples s, UNNEST(s.chunk_ids) AS u(chunk_id)
+        ), joined AS (
+            SELECT e.query_id, e.ans, d.text AS chunk_text
+            FROM exploded e
+            LEFT JOIN (SELECT doc_id::varchar AS doc_id, text
+                       FROM documents) d ON d.doc_id = e.chunk_id
+        ), per_chunk AS (
+            SELECT query_id,
+                   CASE WHEN chunk_text IS NULL THEN NULL ELSE (
+                       CASE WHEN len(phrases) > 0 THEN
+                           len(list_filter(phrases,
+                               p -> contains(ans, lower(p))))::double
+                             / len(phrases)::double
+                       ELSE 0.0::double END
+                   ) END AS ratio
+            FROM (
+                SELECT query_id, ans, chunk_text,
+                       list_distinct(regexp_extract_all(chunk_text,
+                           '{pattern}', 0)) AS phrases
+                FROM joined
+            )
+        )
+        SELECT query_id,
+               COUNT(ratio)::int AS n_chunks,
+               round(CASE WHEN COUNT(ratio) > 0
+                          THEN SUM(ratio) / COUNT(ratio)
+                          ELSE 0.3::double END, 6) AS chunk_utilization
+        FROM per_chunk GROUP BY query_id"""
 
 
 def _sllpa_oracle_sql() -> str:
@@ -2339,6 +2410,7 @@ def oracle_sql() -> dict[str, str]:
         "seed_hop_distance": _seed_hop_oracle_sql(),
         "seed_neighborhood_sample": _neighborhood_sample_oracle_sql(),
         "retrieval_eval": _retrieval_eval_oracle_sql(),
+        "chunk_utilization": _chunk_utilization_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

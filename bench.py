@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "seed_hop_distance",
     "seed_neighborhood_sample",
     "retrieval_eval",
+    "chunk_utilization",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

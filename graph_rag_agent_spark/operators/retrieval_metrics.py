@@ -106,3 +106,72 @@ def retrieval_metrics(
         util_matched.alias("util_matched"),
         F.round(util_score, 6).alias("utilization"),
     )
+
+
+# the reference's key-phrase pattern (retrieval_metrics.py:506) with the
+# CJK range as literal characters so the Java and RE2 engines parse the
+# identical class; {4,} already enforces the reference's len>3 re-filter
+_KEY_PHRASE_RE = "\\b[\\w一-龥]{4,}\\b"
+
+
+def chunk_utilization(
+    samples: DataFrame,
+    chunks: DataFrame,
+    query_col: str = "query_id",
+    answer_col: str = "answer",
+    chunk_ids_col: str = "chunk_ids",
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ChunkUtilization's rule branch (reference retrieval_metrics.py:
+    430-537, Neo4j-lookup path): per referenced chunk, key phrases =
+    distinct ``\\b[\\w CJK]{4,}\\b`` matches in the chunk text; the chunk's
+    ratio = fraction of those phrases appearing (lowercased substring) in
+    the answer; per-sample score = mean ratio over chunks WITH text
+    (phrase-less chunks count in the denominator, :518-526); samples whose
+    reference list resolves to no chunk text score the 0.3 base
+    (:447-459, :533-537). The LLM fallback branches are out of scope (same
+    boundary as every LLM subsystem).
+
+    Scale shape: one explode of the bounded per-sample chunk-id arrays,
+    one key-partitioned join against the chunk table (the Cypher per-id
+    lookup loop becomes a single hash join), phrase extraction and
+    matching as in-row higher-order exprs, one groupBy back per sample.
+    → (query_id, n_chunks, chunk_utilization)."""
+    exploded = samples.select(
+        F.col(query_col).alias("query_id"),
+        F.lower(F.col(answer_col)).alias("_ans"),
+        F.explode_outer(chunk_ids_col).alias("chunk_id"),
+    )
+    ch = chunks.select(
+        F.col(chunk_id_col).alias("chunk_id"), F.col(text_col).alias("_text")
+    )
+    joined = exploded.join(ch, on="chunk_id", how="left")
+    phrases = F.array_distinct(
+        F.regexp_extract_all(F.col("_text"), F.lit(_KEY_PHRASE_RE), 0)
+    )
+    ratio = F.when(
+        F.size(phrases) > 0,
+        F.size(
+            F.filter(phrases, lambda p: F.col("_ans").contains(F.lower(p)))
+        ).cast("double")
+        / F.size(phrases).cast("double"),
+    ).otherwise(F.lit(0.0))
+    per_chunk = joined.select(
+        "query_id",
+        F.when(F.col("_text").isNotNull(), ratio).alias("_ratio"),
+    )
+    agg = per_chunk.groupBy("query_id").agg(
+        F.count("_ratio").alias("n_chunks"),
+        F.sum("_ratio").alias("_total"),
+    )
+    return agg.select(
+        "query_id",
+        F.col("n_chunks").cast("int").alias("n_chunks"),
+        F.round(
+            F.when(
+                F.col("n_chunks") > 0, F.col("_total") / F.col("n_chunks")
+            ).otherwise(F.lit(0.3)),
+            6,
+        ).alias("chunk_utilization"),
+    )

@@ -68,6 +68,55 @@ def test_case_insensitive(spark):
     assert out["q"]["precision"] == pytest.approx(1.0)
 
 
+def test_chunk_utilization_ratio_and_mean(spark):
+    from graph_rag_agent_spark.operators.retrieval_metrics import chunk_utilization
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "alpha bravo charlie delta"),  # 4 phrases
+            ("c2", "echoes foxtrot golfing"),  # 3 phrases
+            ("c3", "a b c"),  # no >=4-char phrase → ratio 0, still counted
+        ],
+        "chunk_id string, text string",
+    )
+    samples = spark.createDataFrame(
+        [
+            # answer contains 2 of c1's 4 phrases → ratio 0.5
+            ("q1", "ALPHA and delta appear", ["c1"]),
+            # mean over c1 (0.5) and c3 (0.0) → 0.25
+            ("q2", "alpha delta", ["c1", "c3"]),
+            # missing id excluded from the mean; c2 fully used → 1.0
+            ("q3", "echoes foxtrot golfing all used", ["c2", "missing"]),
+            # nothing resolves → 0.3 base
+            ("q4", "whatever", ["missing"]),
+        ],
+        "query_id string, answer string, chunk_ids array<string>",
+    )
+    out = {r["query_id"]: r.asDict() for r in chunk_utilization(samples, chunks).collect()}
+    assert out["q1"]["chunk_utilization"] == pytest.approx(0.5)
+    assert out["q2"]["chunk_utilization"] == pytest.approx(0.25)
+    assert out["q2"]["n_chunks"] == 2
+    assert out["q3"]["chunk_utilization"] == pytest.approx(1.0)
+    assert out["q3"]["n_chunks"] == 1
+    assert out["q4"]["chunk_utilization"] == pytest.approx(0.3)
+    assert out["q4"]["n_chunks"] == 0
+
+
+def test_chunk_utilization_phrase_dedup(spark):
+    from graph_rag_agent_spark.operators.retrieval_metrics import chunk_utilization
+
+    # repeated phrase counts once (reference set()s the phrases)
+    chunks = spark.createDataFrame(
+        [("c", "word word word other")], "chunk_id string, text string"
+    )
+    samples = spark.createDataFrame(
+        [("q", "word only", ["c"])],
+        "query_id string, answer string, chunk_ids array<string>",
+    )
+    out = chunk_utilization(samples, chunks).collect()[0]
+    assert out["chunk_utilization"] == pytest.approx(0.5)  # 1 of {word, other}
+
+
 def test_short_tokens_do_not_trigger_fallback(spark):
     # all ref tokens ≤ 3 chars → fallback stays off (reference filters >3)
     out = _run(spark, [("q", ["ab cd ef"], ["ab cd"])])

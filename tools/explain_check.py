@@ -179,11 +179,12 @@ def main():
 
     # 15. retrieval metrics: the rule arithmetic is array higher-order
     # functions over in-row arrays — no Python eval, no quadratic join
-    p15 = plan_of(entry_mod.queries()["retrieval_eval"](spark, sf))
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
-                "BroadcastNestedLoopJoin"):
-        if bad in p15:
-            failures.append(f"retrieval_eval: {bad} in the plan")
+    for name in ("retrieval_eval", "chunk_utilization"):
+        p15 = plan_of(entry_mod.queries()[name](spark, sf))
+        for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                    "BroadcastNestedLoopJoin"):
+            if bad in p15:
+                failures.append(f"{name}: {bad} in the plan")
 
     spark.stop()
     if failures:
