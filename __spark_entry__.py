@@ -643,6 +643,34 @@ def _q_chunk_utilization(spark, sf_dir):
     return chunk_utilization(samples, docs.withColumnRenamed("doc_id", "chunk_id"))
 
 
+def _q_answer_eval(spark, sf_dir):
+    """Answer-evaluation rule branches (reference answer_metrics.py:16-36
+    EM, :123-158 content similarity, :200-241 rule F1) over a
+    deterministic fixture: per 5 smallest-doc_id documents, prediction =
+    first 120 chars, golden = the same 120 chars for the first doc (EM=1)
+    and the first 100 for the rest (EM=0, fractional similarity/F1)."""
+    from pyspark.sql import Window
+
+    from graph_rag_agent_spark.operators.retrieval_metrics import answer_metrics
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    five = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .withColumn("_rn", F.row_number().over(Window.orderBy("doc_id")))
+    )
+    samples = five.select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 120).alias("prediction"),
+        F.when(F.col("_rn") == 1, F.substring("text", 1, 120))
+        .otherwise(F.substring("text", 1, 100))
+        .alias("golden"),
+    )
+    return answer_metrics(samples)
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -1094,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_neighborhood_sample": _q_seed_neighborhood_sample,
         "retrieval_eval": _q_retrieval_eval,
         "chunk_utilization": _q_chunk_utilization,
+        "answer_eval": _q_answer_eval,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1640,6 +1669,94 @@ def _chunk_utilization_oracle_sql() -> str:
                           THEN SUM(ratio) / COUNT(ratio)
                           ELSE 0.3::double END, 6) AS chunk_utilization
         FROM per_chunk GROUP BY query_id"""
+
+
+def _answer_eval_oracle_sql() -> str:
+    """DuckDB twin of operators/retrieval_metrics.answer_metrics on the
+    five-docs fixture. The normalization chain mirrors text_utils.py:5-28
+    step for step (lower → translate-out punctuation → article regex →
+    whitespace collapse; 'g' flags because DuckDB regexp_replace is
+    first-match by default), set ops become list_filter/list_contains,
+    and the F1 denominators are LIST lengths exactly as in the
+    reference."""
+    from graph_rag_agent_spark.operators.retrieval_metrics import (
+        _ANSWER_PUNC,
+        _F1_STOPWORDS,
+    )
+
+    punc_sql = _ANSWER_PUNC.replace("'", "''")
+    stop_sql = ", ".join(f"'{s}'" for s in _F1_STOPWORDS)
+    norm = (
+        "trim(regexp_replace(regexp_replace(translate(lower(__COL__), "
+        f"'{punc_sql}', ''), "
+        r"'\b(a|an|the|一个|一种|这个|那个)\b', ' ', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+    return f"""
+        WITH five AS (
+            SELECT doc_id::varchar AS doc_id, text,
+                   row_number() OVER (ORDER BY doc_id::varchar) AS rn
+            FROM (SELECT * FROM documents ORDER BY doc_id::varchar LIMIT 5)
+        ), samples AS (
+            SELECT doc_id AS query_id,
+                   substr(text, 1, 120) AS pred,
+                   CASE WHEN rn = 1 THEN substr(text, 1, 120)
+                        ELSE substr(text, 1, 100) END AS gold
+            FROM five
+        ), normed AS (
+            SELECT query_id, pred, gold,
+                   {norm.replace('__COL__', 'pred')} AS pn,
+                   {norm.replace('__COL__', 'gold')} AS gn
+            FROM samples
+        ), toks AS (
+            SELECT query_id, pred, gold, pn, gn,
+                   CASE WHEN length(pn) > 0 THEN string_split(pn, ' ')
+                        ELSE [] END AS pt,
+                   CASE WHEN length(gn) > 0 THEN string_split(gn, ' ')
+                        ELSE [] END AS gt
+            FROM normed
+        ), scored AS (
+            SELECT query_id,
+                   CASE WHEN pred IS NULL OR pred = '' OR gold IS NULL
+                             OR gold = '' THEN 0.0::double
+                        WHEN pn = gn THEN 1.0::double
+                        ELSE 0.0::double END AS exact_match,
+                   list_distinct(pt) AS ps, list_distinct(gt) AS gs,
+                   len(pt) AS npt, len(gt) AS ngt,
+                   list_filter(pt, t -> length(t) > 1
+                       AND NOT list_contains([{stop_sql}], t)) AS pf,
+                   list_filter(gt, t -> length(t) > 1
+                       AND NOT list_contains([{stop_sql}], t)) AS gf
+            FROM toks
+        ), sim AS (
+            SELECT query_id, exact_match,
+                   len(list_filter(ps, p -> list_contains(gs, p)))::double
+                     AS common,
+                   len(list_distinct(list_concat(ps, gs)))::double AS uni,
+                   len(ps)::double AS nps, len(gs)::double AS ngs,
+                   npt, ngt, pf, gf,
+                   len(list_filter(list_distinct(pf),
+                       p -> list_contains(list_distinct(gf), p)))::double
+                     AS fcommon,
+                   len(pf)::double AS npf, len(gf)::double AS ngf
+            FROM scored
+        )
+        SELECT query_id,
+               round(exact_match, 6) AS exact_match,
+               round(CASE WHEN npt = 0 OR ngt = 0 THEN 0.0::double
+                          ELSE 0.4::double * (CASE WHEN uni > 0
+                                   THEN common / uni ELSE 0.0::double END)
+                             + 0.3::double * common / nps
+                             + 0.3::double * common / ngs END, 6)
+                 AS content_similarity,
+               round(CASE WHEN npf = 0 AND ngf = 0 THEN 1.0::double
+                          WHEN npf = 0 OR ngf = 0 THEN 0.0::double
+                          WHEN (fcommon / npf + fcommon / ngf) > 0
+                               THEN 2.0::double * (fcommon / npf)
+                                    * (fcommon / ngf)
+                                    / (fcommon / npf + fcommon / ngf)
+                          ELSE 0.0::double END, 6) AS rule_f1
+        FROM sim"""
 
 
 def _sllpa_oracle_sql() -> str:
@@ -2411,6 +2528,7 @@ def oracle_sql() -> dict[str, str]:
         "seed_neighborhood_sample": _neighborhood_sample_oracle_sql(),
         "retrieval_eval": _retrieval_eval_oracle_sql(),
         "chunk_utilization": _chunk_utilization_oracle_sql(),
+        "answer_eval": _answer_eval_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

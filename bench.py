@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "seed_neighborhood_sample",
     "retrieval_eval",
     "chunk_utilization",
+    "answer_eval",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

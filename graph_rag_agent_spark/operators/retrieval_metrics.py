@@ -108,6 +108,106 @@ def retrieval_metrics(
     )
 
 
+# normalize_answer's punctuation set (evaluation/utils/text_utils.py:22):
+# string.punctuation plus the CJK marks, removed via translate()
+_ANSWER_PUNC = (
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" + "，。！？《》【】“”‘’：；（）、"
+)
+# F1's stopword set (answer_metrics.py:209) — CJK function words; a no-op
+# on ASCII corpora but mirrored for parity
+_F1_STOPWORDS = ["的", "了", "和", "在", "是", "为", "以", "与", "或", "且"]
+
+
+def _normalize_answer(col):
+    """evaluation/utils/text_utils.py:5-28 — lower → strip punctuation →
+    strip articles (a|an|the|一个|一种|这个|那个) → collapse whitespace.
+    Same chain, same order; `\\b` is ASCII-boundary in both Spark (Java)
+    and the DuckDB twin (RE2), a documented deviation from Python's
+    Unicode `\\b` that only matters for CJK article boundaries."""
+    x = F.lower(col)
+    x = F.translate(x, _ANSWER_PUNC, "")
+    x = F.regexp_replace(x, r"\b(a|an|the|一个|一种|这个|那个)\b", " ")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def _tokens(norm):
+    return F.when(F.length(norm) > 0, F.split(norm, " ")).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def answer_metrics(
+    samples: DataFrame,
+    query_col: str = "query_id",
+    pred_col: str = "prediction",
+    gold_col: str = "golden",
+) -> DataFrame:
+    """The rule branches of the reference's answer evaluation
+    (evaluation/metrics/answer_metrics.py; LLM branches out of scope):
+
+    - exact_match (:16-36): normalized equality, 0.0 when either raw
+      string is empty/NULL.
+    - content_similarity (:123-158): over distinct normalized tokens,
+      0.4·Jaccard + 0.3·prediction-coverage + 0.3·golden-coverage; 0.0
+      when either token list is empty.
+    - rule_f1 (:200-241): tokens filtered to len>1 minus the stopword
+      set; DISTINCT-intersection count over LIST lengths (duplicates
+      inflate the denominators, as in the reference); both-empty → 1.0,
+      one-empty → 0.0. Documented deviation: the reference tokenizes
+      with jieba — this rebuild uses the deterministic
+      whitespace-on-normalized-text tokenizer (the same jieba/HanLP →
+      deterministic-tokenizer substitution documented in SURVEY §7).
+
+    Map-only: every rule is in-row string/array arithmetic — zero
+    shuffle, zero Python, parallel over any number of eval rows."""
+    pred_raw = F.col(pred_col)
+    gold_raw = F.col(gold_col)
+    pn = _normalize_answer(pred_raw)
+    gn = _normalize_answer(gold_raw)
+    em = F.when(
+        pred_raw.isNull() | (pred_raw == "") | gold_raw.isNull() | (gold_raw == ""),
+        F.lit(0.0),
+    ).otherwise(F.when(pn == gn, F.lit(1.0)).otherwise(F.lit(0.0)))
+
+    pt, gt = _tokens(pn), _tokens(gn)
+    ps, gs = F.array_distinct(pt), F.array_distinct(gt)
+    common = F.size(F.array_intersect(ps, gs)).cast("double")
+    union = F.size(F.array_union(ps, gs)).cast("double")
+    sim = F.when(
+        (F.size(pt) == 0) | (F.size(gt) == 0), F.lit(0.0)
+    ).otherwise(
+        F.lit(0.4) * F.when(union > 0, common / union).otherwise(F.lit(0.0))
+        + F.lit(0.3) * common / F.size(ps).cast("double")
+        + F.lit(0.3) * common / F.size(gs).cast("double")
+    )
+
+    f1_filter = lambda arr: F.filter(
+        arr, lambda t: (F.length(t) > 1) & ~t.isin(*_F1_STOPWORDS)
+    )
+    pf, gf = f1_filter(pt), f1_filter(gt)
+    fcommon = F.size(
+        F.array_intersect(F.array_distinct(pf), F.array_distinct(gf))
+    ).cast("double")
+    prec = fcommon / F.size(pf).cast("double")
+    rec = fcommon / F.size(gf).cast("double")
+    f1 = (
+        F.when((F.size(pf) == 0) & (F.size(gf) == 0), F.lit(1.0))
+        .when((F.size(pf) == 0) | (F.size(gf) == 0), F.lit(0.0))
+        .otherwise(
+            F.when(
+                prec + rec > 0, F.lit(2.0) * prec * rec / (prec + rec)
+            ).otherwise(F.lit(0.0))
+        )
+    )
+
+    return samples.select(
+        F.col(query_col).alias("query_id"),
+        F.round(em, 6).alias("exact_match"),
+        F.round(sim, 6).alias("content_similarity"),
+        F.round(f1, 6).alias("rule_f1"),
+    )
+
+
 # the reference's key-phrase pattern (retrieval_metrics.py:506) with the
 # CJK range as literal characters so the Java and RE2 engines parse the
 # identical class; {4,} already enforces the reference's len>3 re-filter

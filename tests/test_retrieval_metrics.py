@@ -117,6 +117,57 @@ def test_chunk_utilization_phrase_dedup(spark):
     assert out["chunk_utilization"] == pytest.approx(0.5)  # 1 of {word, other}
 
 
+def _run_answers(spark, rows):
+    from graph_rag_agent_spark.operators.retrieval_metrics import answer_metrics
+
+    df = spark.createDataFrame(
+        rows, "query_id string, prediction string, golden string"
+    )
+    return {r["query_id"]: r.asDict() for r in answer_metrics(df).collect()}
+
+
+def test_exact_match_normalization(spark):
+    out = _run_answers(
+        spark,
+        [
+            # punctuation, case, articles, and whitespace all normalize away
+            ("em", "The  Answer, is: Blue!", "answer is blue"),
+            ("near", "answer is blue", "answer is red"),
+            ("empty", "", "answer"),
+        ],
+    )
+    assert out["em"]["exact_match"] == pytest.approx(1.0)
+    assert out["near"]["exact_match"] == pytest.approx(0.0)
+    assert out["empty"]["exact_match"] == pytest.approx(0.0)
+    assert out["empty"]["content_similarity"] == pytest.approx(0.0)
+
+
+def test_content_similarity_formula(spark):
+    # pred {alpha beta}, gold {alpha gamma delta}: common 1, union 4
+    # 0.4·(1/4) + 0.3·(1/2) + 0.3·(1/3)
+    out = _run_answers(spark, [("q", "alpha beta", "alpha gamma delta")])
+    expected = 0.4 * (1 / 4) + 0.3 * (1 / 2) + 0.3 * (1 / 3)
+    assert out["q"]["content_similarity"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_rule_f1_list_denominators_and_edge_cases(spark):
+    out = _run_answers(
+        spark,
+        [
+            # pred tokens (len>1): [aa, aa, bb] (3 with duplicate), gold [aa, cc]
+            # common distinct = {aa} → p = 1/3, r = 1/2, f1 = 2pr/(p+r) = 0.4
+            ("dup", "aa aa bb", "aa cc"),
+            # all tokens length 1 → both filtered empty → 1.0
+            ("both_empty", "a b", "c d"),
+            # one side empty after filtering → 0.0
+            ("one_empty", "a b", "real words"),
+        ],
+    )
+    assert out["dup"]["rule_f1"] == pytest.approx(0.4, abs=1e-6)
+    assert out["both_empty"]["rule_f1"] == pytest.approx(1.0)
+    assert out["one_empty"]["rule_f1"] == pytest.approx(0.0)
+
+
 def test_short_tokens_do_not_trigger_fallback(spark):
     # all ref tokens ≤ 3 chars → fallback stays off (reference filters >3)
     out = _run(spark, [("q", ["ab cd ef"], ["ab cd"])])
