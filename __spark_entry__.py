@@ -671,6 +671,30 @@ def _q_answer_eval(spark, sf_dir):
     return answer_metrics(samples)
 
 
+def _q_reasoning_eval(spark, sf_dir):
+    """Deep-search reasoning coherence + depth rule branches (reference
+    deep_search_metrics.py:34-52, :199-217) over a fully deterministic
+    synthetic fixture (the SLLPA fixed-fixture pattern): rows r1-r5 carry
+    a <think> block with rn numbered search queries, four fixed
+    paragraphs, and rn%3 Final-Information sections; r6 has no thinking
+    markup (the 0.6 default branch)."""
+    from graph_rag_agent_spark.operators.retrieval_metrics import reasoning_metrics
+
+    rows = spark.range(1, 7).selectExpr(
+        "concat('r', id) AS query_id",
+        """CASE WHEN id < 6 THEN concat(
+               '<think>',
+               repeat('> 1. find something\\n', cast(id AS int)),
+               'step one\\n\\nstep two\\n\\nstep three\\n\\nstep four',
+               '\\n\\n',
+               repeat('**Final Information** facts here\\n\\n',
+                      cast(id % 3 AS int)),
+               '</think>conclusion text')
+           ELSE 'no reasoning markup here' END AS answer""",
+    )
+    return reasoning_metrics(rows)
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -1123,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": _q_retrieval_eval,
         "chunk_utilization": _q_chunk_utilization,
         "answer_eval": _q_answer_eval,
+        "reasoning_eval": _q_reasoning_eval,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1757,6 +1782,61 @@ def _answer_eval_oracle_sql() -> str:
                                     / (fcommon / npf + fcommon / ngf)
                           ELSE 0.0::double END, 6) AS rule_f1
         FROM sim"""
+
+
+def _reasoning_eval_oracle_sql() -> str:
+    """DuckDB twin of operators/retrieval_metrics.reasoning_metrics on the
+    synthetic r1-r6 fixture — identical construction (range/repeat/concat),
+    identical RE2-safe regexes, identical ::double score arithmetic."""
+    return r"""
+        WITH rows_fixture AS (
+            SELECT 'r' || id AS query_id,
+                   CASE WHEN id < 6 THEN
+                       '<think>'
+                       || repeat('> 1. find something' || chr(10), id::int)
+                       || 'step one' || chr(10) || chr(10)
+                       || 'step two' || chr(10) || chr(10)
+                       || 'step three' || chr(10) || chr(10) || 'step four'
+                       || chr(10) || chr(10)
+                       || repeat('**Final Information** facts here'
+                                 || chr(10) || chr(10), (id % 3)::int)
+                       || '</think>conclusion text'
+                   ELSE 'no reasoning markup here' END AS answer
+            FROM range(1, 7) t(id)
+        ), ext AS (
+            SELECT query_id,
+                   regexp_replace(
+                       regexp_extract(answer, '(?s)<think>(.*?)</think>', 1),
+                       '^\s+|\s+$', '', 'g') AS thinking
+            FROM rows_fixture
+        ), counts AS (
+            SELECT query_id,
+                   length(thinking) > 0 AS has_think,
+                   len(regexp_extract_all(thinking,
+                       '>\s*\d+\.\s*(.*?)\n')) AS nq,
+                   len(string_split_regex(thinking, '\n\n+')) AS npara,
+                   len(regexp_extract_all(thinking,
+                       '\*\*Final Information\*\*')) AS ninfo
+            FROM ext
+        )
+        SELECT query_id,
+               (CASE WHEN has_think THEN nq ELSE 0 END)::int AS n_queries,
+               (CASE WHEN has_think THEN npara ELSE 0 END)::int
+                 AS n_paragraphs,
+               (CASE WHEN has_think THEN ninfo ELSE 0 END)::int AS n_info,
+               round(CASE WHEN has_think THEN least(1.0::double,
+                          0.6::double
+                          + 0.1::double * least(3, nq)::double
+                          + CASE WHEN npara > 3 THEN 0.1::double
+                                 ELSE 0.0::double END)
+                     ELSE 0.6::double END, 6) AS reasoning_coherence,
+               round(CASE WHEN has_think THEN
+                          0.6::double
+                          + least(0.2::double, 0.05::double * nq::double)
+                          + least(0.1::double, 0.02::double * npara::double)
+                          + least(0.1::double, 0.05::double * ninfo::double)
+                     ELSE 0.6::double END, 6) AS reasoning_depth
+        FROM counts"""
 
 
 def _sllpa_oracle_sql() -> str:
@@ -2529,6 +2609,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_eval": _retrieval_eval_oracle_sql(),
         "chunk_utilization": _chunk_utilization_oracle_sql(),
         "answer_eval": _answer_eval_oracle_sql(),
+        "reasoning_eval": _reasoning_eval_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "retrieval_eval",
     "chunk_utilization",
     "answer_eval",
+    "reasoning_eval",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

@@ -208,6 +208,72 @@ def answer_metrics(
     )
 
 
+def reasoning_metrics(
+    samples: DataFrame,
+    query_col: str = "query_id",
+    answer_col: str = "answer",
+) -> DataFrame:
+    """Rule branches of the reference's deep-search evaluation
+    (evaluation/metrics/deep_search_metrics.py; LLM branches out of
+    scope):
+
+    - ReasoningCoherence (:34-52 structure rule): thinking = the first
+      ``(?s)<think>(.*?)</think>`` block (stripped); score = min(1.0,
+      0.6 + 0.1·min(3, n_search_queries) + 0.1 if paragraphs > 3),
+      where search queries match ``>\\s*\\d+\\.\\s*(.*?)\\n`` and
+      paragraphs split on ``\\n\\n+``. No thinking block → the 0.6
+      default (:155-158 no-LLM branch).
+    - ReasoningDepth (:199-217 feature rule): 0.6 + min(0.2, 0.05·n_q)
+      + min(0.1, 0.02·n_paragraphs) + min(0.1, 0.05·n_info_sections);
+      same 0.6 default. Documented deviation: the reference counts info
+      sections with ``\\*\\*Final Information\\*\\*(.*?)(?=\\n\\n|\\Z)``
+      — a lookahead RE2 (the DuckDB twin) cannot express — so BOTH
+      engines count the literal ``**Final Information**`` markers,
+      identical whenever each marker starts its own section as the
+      deep-search format emits them.
+
+    Map-only in-row regex/size arithmetic — zero shuffle, zero Python.
+    → (query_id, n_queries, n_paragraphs, n_info, reasoning_coherence,
+    reasoning_depth)."""
+    # Python .strip() removes ALL whitespace; trim() in both engines is
+    # space-only — regex-strip both ends instead (ASCII \s, both engines)
+    thinking = F.regexp_replace(
+        F.regexp_extract(F.col(answer_col), r"(?s)<think>(.*?)</think>", 1),
+        r"^\s+|\s+$",
+        "",
+    )
+    has = F.length(thinking) > 0
+    nq = F.size(F.regexp_extract_all(thinking, F.lit(r">\s*\d+\.\s*(.*?)\n"), 0))
+    npara = F.size(F.split(thinking, r"\n\n+"))
+    ninfo = F.size(
+        F.regexp_extract_all(thinking, F.lit(r"\*\*Final Information\*\*"), 0)
+    )
+    coherence = F.when(
+        has,
+        F.least(
+            F.lit(1.0),
+            F.lit(0.6)
+            + F.lit(0.1) * F.least(F.lit(3), nq).cast("double")
+            + F.when(npara > 3, F.lit(0.1)).otherwise(F.lit(0.0)),
+        ),
+    ).otherwise(F.lit(0.6))
+    depth = F.when(
+        has,
+        F.lit(0.6)
+        + F.least(F.lit(0.2), F.lit(0.05) * nq.cast("double"))
+        + F.least(F.lit(0.1), F.lit(0.02) * npara.cast("double"))
+        + F.least(F.lit(0.1), F.lit(0.05) * ninfo.cast("double")),
+    ).otherwise(F.lit(0.6))
+    return samples.select(
+        F.col(query_col).alias("query_id"),
+        F.when(has, nq).otherwise(F.lit(0)).alias("n_queries"),
+        F.when(has, npara).otherwise(F.lit(0)).alias("n_paragraphs"),
+        F.when(has, ninfo).otherwise(F.lit(0)).alias("n_info"),
+        F.round(coherence, 6).alias("reasoning_coherence"),
+        F.round(depth, 6).alias("reasoning_depth"),
+    )
+
+
 # the reference's key-phrase pattern (retrieval_metrics.py:506) with the
 # CJK range as literal characters so the Java and RE2 engines parse the
 # identical class; {4,} already enforces the reference's len>3 re-filter

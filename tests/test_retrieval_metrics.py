@@ -168,6 +168,49 @@ def test_rule_f1_list_denominators_and_edge_cases(spark):
     assert out["one_empty"]["rule_f1"] == pytest.approx(0.0)
 
 
+def _run_reasoning(spark, rows):
+    from graph_rag_agent_spark.operators.retrieval_metrics import reasoning_metrics
+
+    df = spark.createDataFrame(rows, "query_id string, answer string")
+    return {r["query_id"]: r.asDict() for r in reasoning_metrics(df).collect()}
+
+
+def test_reasoning_scores_and_caps(spark):
+    think = (
+        "<think>"
+        + "> 1. first query\n> 2. second query\n> 3. third\n> 4. fourth\n"
+        + "para one\n\npara two\n\npara three\n\npara four\n\n"
+        + "**Final Information** found it\n\n**Final Information** more\n\n"
+        + "</think>answer"
+    )
+    out = _run_reasoning(
+        spark,
+        [
+            ("full", think),
+            ("bare", "no markup at all"),
+            ("thin", "<think>one line only</think>x"),
+        ],
+    )
+    full = out["full"]
+    assert full["n_queries"] == 4
+    assert full["n_info"] == 2
+    # queries capped at 3 → 0.6 + 0.3 + 0.1 (paras > 3) capped at 1.0
+    assert full["reasoning_coherence"] == pytest.approx(1.0)
+    # depth: 0.6 + min(.2, .05·4)=0.2 + min(.1, .02·n_para) + min(.1, .05·2)=0.1
+    assert full["reasoning_depth"] == pytest.approx(
+        0.6 + 0.2 + min(0.1, 0.02 * full["n_paragraphs"]) + 0.1
+    )
+    # no thinking block → both metrics at the 0.6 default, counts zero
+    assert out["bare"]["reasoning_coherence"] == pytest.approx(0.6)
+    assert out["bare"]["reasoning_depth"] == pytest.approx(0.6)
+    assert out["bare"]["n_queries"] == 0
+    # minimal thinking: no queries, single paragraph
+    thin = out["thin"]
+    assert thin["n_queries"] == 0 and thin["n_paragraphs"] == 1
+    assert thin["reasoning_coherence"] == pytest.approx(0.6)
+    assert thin["reasoning_depth"] == pytest.approx(0.6 + 0.02 * 1)
+
+
 def test_short_tokens_do_not_trigger_fallback(spark):
     # all ref tokens ≤ 3 chars → fallback stays off (reference filters >3)
     out = _run(spark, [("q", ["ab cd ef"], ["ab cd"])])
