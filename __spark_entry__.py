@@ -695,6 +695,32 @@ def _q_reasoning_eval(spark, sf_dir):
     return reasoning_metrics(rows)
 
 
+def _q_agent_eval(spark, sf_dir):
+    """Deep-search iterative-improvement + KG-utilization rule branches
+    (reference deep_search_metrics.py:344-456, :523-691) over a synthetic
+    a1-a6 fixture: rows a1-a5 carry a <think> block with i numbered
+    queries and CJK graph mentions, entity/community markers on alternating
+    rows; a6 exercises the no-thinking simplified-score branch."""
+    from graph_rag_agent_spark.operators.retrieval_metrics import (
+        agent_utilization_metrics,
+    )
+
+    rows = spark.range(1, 7).selectExpr(
+        "concat('a', id) AS query_id",
+        """CASE WHEN id < 6 THEN concat(
+               '<think>',
+               repeat('> 1. look around\\n', cast(id AS int)),
+               'uses 实体 twice 实体 and 关系 plus entity words\\n\\nsecond para',
+               '</think>',
+               CASE WHEN id % 2 = 1 THEN '核心相关实体: spark core\\n' ELSE '' END,
+               CASE WHEN id % 3 = 0 THEN '相关知识社区: community one\\n' ELSE '' END,
+               'entity relation closing')
+           ELSE 'no think here. 核心相关实体: tables\\nentity entity relation'
+           END AS answer""",
+    )
+    return agent_utilization_metrics(rows)
+
+
 def _q_global_search_map(spark, sf_dir):
     """Q3 map phase (template slot): per-community intermediate answer over
     the oracle-checked WCC community summaries — closes the round-2 note
@@ -1148,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_utilization": _q_chunk_utilization,
         "answer_eval": _q_answer_eval,
         "reasoning_eval": _q_reasoning_eval,
+        "agent_eval": _q_agent_eval,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1836,6 +1863,79 @@ def _reasoning_eval_oracle_sql() -> str:
                           + least(0.1::double, 0.02::double * npara::double)
                           + least(0.1::double, 0.05::double * ninfo::double)
                      ELSE 0.6::double END, 6) AS reasoning_depth
+        FROM counts"""
+
+
+def _agent_eval_oracle_sql() -> str:
+    """DuckDB twin of operators/retrieval_metrics.agent_utilization_metrics
+    on the synthetic a1-a6 fixture — identical construction, RE2-safe
+    regexes (existence checks instead of the reference's lookahead-bounded
+    captures), ::double score arithmetic."""
+    return r"""
+        WITH rows_fixture AS (
+            SELECT 'a' || id AS query_id,
+                   CASE WHEN id < 6 THEN
+                       '<think>'
+                       || repeat('> 1. look around' || chr(10), id::int)
+                       || 'uses 实体 twice 实体 and 关系 plus entity words'
+                       || chr(10) || chr(10) || 'second para'
+                       || '</think>'
+                       || CASE WHEN id % 2 = 1
+                               THEN '核心相关实体: spark core' || chr(10)
+                               ELSE '' END
+                       || CASE WHEN id % 3 = 0
+                               THEN '相关知识社区: community one' || chr(10)
+                               ELSE '' END
+                       || 'entity relation closing'
+                   ELSE 'no think here. 核心相关实体: tables' || chr(10)
+                        || 'entity entity relation' END AS answer
+            FROM range(1, 7) t(id)
+        ), ext AS (
+            SELECT query_id, answer,
+                   regexp_replace(
+                       regexp_extract(answer, '(?s)<think>(.*?)</think>', 1),
+                       '^\s+|\s+$', '', 'g') AS thinking
+            FROM rows_fixture
+        ), counts AS (
+            SELECT query_id,
+                   length(thinking) > 0 AS has_think,
+                   len(regexp_extract_all(thinking,
+                       '>\s*(\d+)\.\s*(.*?)\n')) AS n_iter,
+                   len(regexp_extract_all(thinking,
+                       '(?i)知识图谱|实体|关系|社区')) AS mentions,
+                   len(regexp_extract_all(answer,
+                       '(?i)核心相关实体[：:]')) > 0 AS has_entity,
+                   len(regexp_extract_all(answer,
+                       '(?i)相关知识社区[：:]')) > 0 AS has_comm,
+                   len(regexp_extract_all(answer, '(?i)实体|entity')) AS erefs,
+                   len(regexp_extract_all(answer, '(?i)关系|relation')) AS rrefs
+            FROM ext
+        )
+        SELECT query_id,
+               (CASE WHEN has_think THEN n_iter ELSE 0 END)::int
+                 AS n_iterations,
+               round(CASE WHEN has_think THEN
+                          0.5::double + least(0.3::double,
+                              0.1::double * n_iter::double)
+                     ELSE 0.5::double END, 6) AS iterative_improvement,
+               (CASE WHEN has_think THEN mentions ELSE 0 END)::int
+                 AS kg_mentions,
+               round(CASE WHEN has_think THEN
+                          0.2::double
+                          + least(0.3::double, 0.03::double * mentions::double)
+                          + CASE WHEN has_entity THEN 0.25::double
+                                 ELSE 0.0::double END
+                          + CASE WHEN has_comm THEN 0.25::double
+                                 ELSE 0.0::double END
+                     ELSE
+                          0.2::double
+                          + CASE WHEN has_entity THEN 0.25::double
+                                 ELSE 0.0::double END
+                          + CASE WHEN has_comm THEN 0.25::double
+                                 ELSE 0.0::double END
+                          + least(0.3::double,
+                              0.05::double * (erefs + rrefs)::double)
+                     END, 6) AS kg_utilization
         FROM counts"""
 
 
@@ -2610,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_utilization": _chunk_utilization_oracle_sql(),
         "answer_eval": _answer_eval_oracle_sql(),
         "reasoning_eval": _reasoning_eval_oracle_sql(),
+        "agent_eval": _agent_eval_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "chunk_utilization",
     "answer_eval",
     "reasoning_eval",
+    "agent_eval",
     "exact_dedup",
     "jaccard_pairs",
     "simhash_signatures",

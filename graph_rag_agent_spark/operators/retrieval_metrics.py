@@ -274,6 +274,80 @@ def reasoning_metrics(
     )
 
 
+def agent_utilization_metrics(
+    samples: DataFrame,
+    query_col: str = "query_id",
+    answer_col: str = "answer",
+) -> DataFrame:
+    """The last two deep-search rule branches (deep_search_metrics.py):
+
+    - IterativeImprovementMetric (:344-456 rule path): iterations = count
+      of numbered search-query lines in the <think> block; score = 0.5 +
+      min(0.3, 0.1·count) when a thinking block exists (the reference
+      adds the bonus only when count ≥ 1, which min-arithmetic already
+      gives), else the 0.5 default (:498-502).
+    - KnowledgeGraphUtilizationMetric (:523-691 rule path): marker flags
+      核心相关实体[：:] / 相关知识社区[：:] anywhere in the answer
+      (existence only — the reference's (?=\\n|$) lookahead, which RE2
+      cannot express, only bounds the captured text, not the match
+      decision), graph-mention count 知识图谱|实体|关系|社区 in the
+      thinking block. With thinking: 0.2 + min(0.3, 0.03·mentions) +
+      0.25·entity + 0.25·community (:637-640); without: 0.2 +
+      0.25·entity + 0.25·community + min(0.3, 0.05·(实体|entity counts +
+      关系|relation counts in the answer)) (:641-648).
+
+    Map-only regex counting — zero shuffle, zero Python. →
+    (query_id, n_iterations, iterative_improvement, kg_mentions,
+    kg_utilization)."""
+    ans = F.col(answer_col)
+    thinking = F.regexp_replace(
+        F.regexp_extract(ans, r"(?s)<think>(.*?)</think>", 1),
+        r"^\s+|\s+$",
+        "",
+    )
+    has = F.length(thinking) > 0
+    n_iter = F.size(
+        F.regexp_extract_all(thinking, F.lit(r">\s*(\d+)\.\s*(.*?)\n"), 0)
+    )
+    improvement = F.when(
+        has,
+        F.lit(0.5) + F.least(F.lit(0.3), F.lit(0.1) * n_iter.cast("double")),
+    ).otherwise(F.lit(0.5))
+
+    has_entity = (
+        F.size(F.regexp_extract_all(ans, F.lit("(?i)核心相关实体[：:]"), 0)) > 0
+    )
+    has_comm = (
+        F.size(F.regexp_extract_all(ans, F.lit("(?i)相关知识社区[：:]"), 0)) > 0
+    )
+    mentions = F.size(
+        F.regexp_extract_all(thinking, F.lit("(?i)知识图谱|实体|关系|社区"), 0)
+    )
+    erefs = F.size(F.regexp_extract_all(ans, F.lit("(?i)实体|entity"), 0))
+    rrefs = F.size(F.regexp_extract_all(ans, F.lit("(?i)关系|relation"), 0))
+    ent_s = F.when(has_entity, F.lit(0.25)).otherwise(F.lit(0.0))
+    com_s = F.when(has_comm, F.lit(0.25)).otherwise(F.lit(0.0))
+    util = F.when(
+        has,
+        F.lit(0.2)
+        + F.least(F.lit(0.3), F.lit(0.03) * mentions.cast("double"))
+        + ent_s
+        + com_s,
+    ).otherwise(
+        F.lit(0.2)
+        + ent_s
+        + com_s
+        + F.least(F.lit(0.3), F.lit(0.05) * (erefs + rrefs).cast("double"))
+    )
+    return samples.select(
+        F.col(query_col).alias("query_id"),
+        F.when(has, n_iter).otherwise(F.lit(0)).alias("n_iterations"),
+        F.round(improvement, 6).alias("iterative_improvement"),
+        F.when(has, mentions).otherwise(F.lit(0)).alias("kg_mentions"),
+        F.round(util, 6).alias("kg_utilization"),
+    )
+
+
 # the reference's key-phrase pattern (retrieval_metrics.py:506) with the
 # CJK range as literal characters so the Java and RE2 engines parse the
 # identical class; {4,} already enforces the reference's len>3 re-filter

@@ -211,6 +211,38 @@ def test_reasoning_scores_and_caps(spark):
     assert thin["reasoning_depth"] == pytest.approx(0.6 + 0.02 * 1)
 
 
+def test_agent_utilization_rules(spark):
+    from graph_rag_agent_spark.operators.retrieval_metrics import (
+        agent_utilization_metrics,
+    )
+
+    rows = [
+        # 5 iterations (capped bonus 0.3); thinking mentions 实体+关系 = 2;
+        # entity marker present, community absent
+        (
+            "cap",
+            "<think>"
+            + "> 1. a\n> 2. b\n> 3. c\n> 4. d\n> 5. e\n"
+            + "uses 实体 and 关系\n\nmore</think>核心相关实体: x\nrest",
+        ),
+        # no thinking: simplified branch — entity marker + 2 entity words +
+        # 1 relation word (+ the 实体 inside the marker) → mentions path off
+        ("bare", "核心相关实体: y\nentity entity relation text"),
+    ]
+    df = spark.createDataFrame(rows, "query_id string, answer string")
+    out = {r["query_id"]: r.asDict() for r in agent_utilization_metrics(df).collect()}
+    cap = out["cap"]
+    assert cap["n_iterations"] == 5
+    assert cap["iterative_improvement"] == pytest.approx(0.8)  # 0.5 + cap 0.3
+    assert cap["kg_mentions"] == 2
+    assert cap["kg_utilization"] == pytest.approx(0.2 + 0.06 + 0.25)
+    bare = out["bare"]
+    assert bare["n_iterations"] == 0
+    assert bare["iterative_improvement"] == pytest.approx(0.5)
+    # erefs = 实体(in marker) + entity×2 = 3, rrefs = 1 → min(0.3, 0.2)
+    assert bare["kg_utilization"] == pytest.approx(0.2 + 0.25 + 0.2)
+
+
 def test_short_tokens_do_not_trigger_fallback(spark):
     # all ref tokens ≤ 3 chars → fallback stays off (reference filters >3)
     out = _run(spark, [("q", ["ab cd ef"], ["ab cd"])])

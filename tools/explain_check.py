@@ -180,7 +180,7 @@ def main():
     # 15. retrieval metrics: the rule arithmetic is array higher-order
     # functions over in-row arrays — no Python eval, no quadratic join
     for name in ("retrieval_eval", "chunk_utilization", "answer_eval",
-                 "reasoning_eval"):
+                 "reasoning_eval", "agent_eval"):
         p15 = plan_of(entry_mod.queries()[name](spark, sf))
         for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
                     "BroadcastNestedLoopJoin"):
