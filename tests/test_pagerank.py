@@ -106,6 +106,34 @@ def test_driver_and_distributed_paths_agree(spark):
             assert drv[k] == pytest.approx(dist[k], abs=1e-12)
 
 
+def test_warm_start_converges_faster_after_delta(spark):
+    # incremental pipeline: yesterday's ranks warm-start today's run after
+    # a small graph delta → fewer tol-mode sweeps than a cold start, and
+    # both converge to the same fixpoint (unique regardless of init)
+    from graph_rag_agent_spark.operators import pagerank as prmod
+
+    rng = np.random.default_rng(3)
+    n = 60
+    base_edges = []
+    for _ in range(240):
+        s, d = rng.integers(0, n, 2)
+        if s != d:
+            base_edges.append((f"w{s:02d}", f"w{d:02d}"))
+    v = spark.createDataFrame([(f"w{i:02d}",) for i in range(n)], "id string")
+    e0 = spark.createDataFrame(base_edges, "src string, dst string")
+    prev = pagerank(v, e0, n_iter=60, tol=1e-10)
+
+    delta_edges = base_edges + [("w00", "w59"), ("w07", "w41")]
+    e1 = spark.createDataFrame(delta_edges, "src string, dst string")
+    cold = _ranks(pagerank(v, e1, n_iter=60, tol=1e-10))
+    cold_iters = prmod.LAST_ITERATIONS
+    warm = _ranks(pagerank(v, e1, n_iter=60, tol=1e-10, initial_ranks=prev))
+    warm_iters = prmod.LAST_ITERATIONS
+    assert warm_iters < cold_iters
+    for k in cold:
+        assert warm[k] == pytest.approx(cold[k], abs=1e-8)
+
+
 def test_personalized_requires_real_seed(spark):
     e = spark.createDataFrame([("a", "b")], "src string, dst string")
     v = spark.createDataFrame([("a",), ("b",)], "id string")
