@@ -928,6 +928,22 @@ def _q_triangle_counts(spark, sf_dir):
     return triangle_counts(res.edges)
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 8
+
+
+def _q_k_core(spark, sf_dir):
+    """2-core of the canonical graph with within-core degrees — the
+    graph-quality pruning pass (peripheral single-link extraction noise
+    peels away). Bounded-round simultaneous peeling; the oracle unrolls
+    the same 8 rounds (the gated graphs converge well inside them —
+    extra unrolled rounds are fixpoint no-ops)."""
+    from graph_rag_agent_spark.operators.graph_metrics import k_core
+
+    res = _sf_canonical(spark, sf_dir)
+    return k_core(res.edges, k=_KCORE_K, max_rounds=_KCORE_ROUNDS)
+
+
 _PAGERANK_ITERS = 5
 _PAGERANK_DAMPING = 0.85
 
@@ -1175,6 +1191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "answer_eval": _q_answer_eval,
         "reasoning_eval": _q_reasoning_eval,
         "agent_eval": _q_agent_eval,
+        "k_core_members": _q_k_core,
         "graph_quality_report": _q_graph_quality_report,
         "triangle_counts": _q_triangle_counts,
         "repetition_scores": _q_repetition,
@@ -1470,6 +1487,48 @@ _PROJ_PR_CTES = """
                 FROM g JOIN outw o ON o.src = g.src
             ), verts AS (SELECT DISTINCT src AS id FROM g)
 """
+
+
+def _k_core_oracle_sql() -> str:
+    """DuckDB twin of operators/graph_metrics.k_core: the simultaneous
+    peel rounds are UNROLLED (degree-within-alive CTE + survivor filter
+    per round) over the undirected distinct-pair graph; the Spark side's
+    early convergence break is equivalent because post-fixpoint rounds
+    are no-ops."""
+    rounds, prev = "", "alive0"
+    for r in range(1, _KCORE_ROUNDS + 1):
+        rounds += f"""
+            , degk{r} AS (
+                SELECT g.s AS id, COUNT(*) AS deg
+                FROM symk g
+                JOIN {prev} x ON x.id = g.s
+                JOIN {prev} y ON y.id = g.d
+                GROUP BY g.s
+            ), alive{r} AS (
+                SELECT id FROM degk{r} WHERE deg >= {_KCORE_K}
+            )"""
+        prev = f"alive{r}"
+    return (
+        _CANON_CTE
+        + """
+            , upairs AS (
+                SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+                FROM canon_triples WHERE subj <> obj
+            ), symk AS (
+                SELECT a AS s, b AS d FROM upairs
+                UNION ALL SELECT b AS s, a AS d FROM upairs
+            ), alive0 AS (SELECT DISTINCT s AS id FROM symk)"""
+        + rounds
+        + f"""
+            , degf AS (
+                SELECT g.s AS id, COUNT(*) AS deg
+                FROM symk g
+                JOIN {prev} x ON x.id = g.s
+                JOIN {prev} y ON y.id = g.d
+                GROUP BY g.s
+            )
+        SELECT id AS entity_id, deg::int AS core_degree FROM degf"""
+    )
 
 
 def _pagerank_oracle_sql(personalized: bool) -> str:
@@ -2711,6 +2770,7 @@ def oracle_sql() -> dict[str, str]:
         "answer_eval": _answer_eval_oracle_sql(),
         "reasoning_eval": _reasoning_eval_oracle_sql(),
         "agent_eval": _agent_eval_oracle_sql(),
+        "k_core_members": _k_core_oracle_sql(),
         "pii_redaction": f"""
             WITH aug AS (
                 SELECT doc_id,

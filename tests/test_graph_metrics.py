@@ -4,6 +4,48 @@
 from __future__ import annotations
 
 import pytest
+
+from graph_rag_agent_spark.operators.graph_metrics import k_core
+
+
+def _kc(df):
+    return {r["entity_id"]: r["core_degree"] for r in df.collect()}
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(a, "REL", b) for a, b in pairs], "subj string, pred string, obj string"
+    )
+
+
+def test_k_core_k4_with_pendant_chain(spark):
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "e"), ("e", "f")]  # pendant path peels away at k=2
+    out = _kc(k_core(_edges_df(spark, k4 + chain), k=2))
+    assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_k_core_ring_survives_path_dissolves(spark):
+    ring = [("r1", "r2"), ("r2", "r3"), ("r3", "r4"), ("r4", "r5"), ("r5", "r1")]
+    out = _kc(k_core(_edges_df(spark, ring), k=2))
+    assert out == {f"r{i}": 2 for i in range(1, 6)}
+    path = [("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"), ("p5", "p6")]
+    assert _kc(k_core(_edges_df(spark, path), k=2)) == {}
+
+
+def test_k_core_driver_and_distributed_agree(spark):
+    import random
+
+    rng = random.Random(9)
+    pairs = set()
+    while len(pairs) < 60:
+        a, b = rng.sample(range(30), 2)
+        pairs.add((f"g{min(a,b):02d}", f"g{max(a,b):02d}"))
+    e = _edges_df(spark, sorted(pairs))
+    drv = _kc(k_core(e, k=2))
+    dist = _kc(k_core(e, k=2, driver_threshold=0, max_rounds=30))
+    assert drv == dist
+    assert drv  # non-trivial fixture
 from pyspark.sql import functions as F
 
 from graph_rag_agent_spark.operators.graph_metrics import (
