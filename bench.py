@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "seed_relationships",
     "graph_structure_report",
     "triangle_counts",
+    "k_core_members",
     "entity_pagerank",
     "seed_ppr",
     "seed_hop_distance",
