@@ -472,9 +472,13 @@ def _sf_communities(spark, sf_dir):
 def _q_community_summaries(spark, sf_dir):
     """G6-G8 oracle-checkable slice: oracle-checks the community id
     assignment, ranking, and the reference's 'Nodes are: ... Relationships
-    are: ...' stringification end to end (the G9 LLM slot's None path)."""
+    are: ...' stringification end to end (the G9 LLM slot's None path).
+    summarizer_v (the reuse fingerprint column) is projected out — it is
+    storage metadata, not part of the reference-parity surface."""
     _, summaries = _sf_communities(spark, sf_dir)
-    return summaries
+    return summaries.select(
+        "community_id", "level", "rank", "summary", "full_content"
+    )
 
 
 def _q_graph_quality_report(spark, sf_dir):
@@ -759,6 +763,46 @@ def _q_sllpa_overlap(spark, sf_dir):
     return overlapping_label_propagation(
         verts, wedges, max_iter=_SLLPA_SWEEPS, min_association=_SLLPA_MIN_ASSOC
     )
+
+
+def _q_incremental_sllpa(spark, sf_dir):
+    """N-family × G4: scoped incremental community re-detection
+    (communities.incremental_communities) with the equality claim checked
+    IN the oracle gate: the Spark side treats every edge incident to the
+    lexicographically-first projection vertex as today's delta, re-detects
+    only the components that delta touches, and retains every other
+    component's membership from the old (pre-delta) run verbatim; the
+    DuckDB twin runs FULL SLLPA over the whole new graph. Hash equality
+    is the component-local-detector theorem (scoped ≡ full), proved on
+    the real canonical co-occurrence projection rather than a fixture.
+    (The reference re-detects wholesale on every incremental run,
+    integrations/build/incremental_update.py:208-246.)"""
+    from graph_rag_agent_spark.operators.communities import (
+        incremental_communities,
+        overlapping_label_propagation,
+        weighted_projection,
+    )
+
+    res = _sf_canonical(spark, sf_dir)
+    # reused three times (delta diff, old-graph run, scoped run) — pin it
+    proj = weighted_projection(res.edges).localCheckpoint(eager=True)
+    # s < d in every pair, so min(s) is the globally-least vertex id
+    seed = proj.agg(F.min("s").alias("m")).collect()[0]["m"]
+    old = proj.filter((F.col("s") != seed) & (F.col("d") != seed))
+    old_verts = (
+        old.select(F.col("s").alias("id"))
+        .unionByName(old.select(F.col("d").alias("id")))
+        .distinct()
+    )
+
+    def detect(v, e):
+        return overlapping_label_propagation(
+            v, e, max_iter=_SLLPA_SWEEPS, min_association=_SLLPA_MIN_ASSOC
+        )
+
+    old_memb = detect(old_verts, old)
+    out = incremental_communities(old, proj, old_memb, detect)
+    return out.select(F.col("id").alias("entity_id"), "label", "strength")
 
 
 def _q_exact_dedup(spark, sf_dir):
@@ -1160,6 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_communities_for_seeds": _q_top_communities_for_seeds,
         "seed_relationships": _q_seed_relationships,
         "sllpa_overlap": _q_sllpa_overlap,
+        "incremental_sllpa": _q_incremental_sllpa,
         "exact_dedup": _q_exact_dedup,
         "jaccard_pairs": _q_jaccard_pairs,
         "simhash_signatures": _q_simhash,
@@ -1998,14 +2043,17 @@ def _agent_eval_oracle_sql() -> str:
         FROM counts"""
 
 
-def _sllpa_oracle_sql() -> str:
-    """DuckDB twin of operators/communities.overlapping_label_propagation on
-    the fixed two-triangle fixture: the speaker-listener sweeps are UNROLLED
-    (one strongest/heard/listened/memory CTE block per sweep — every window,
-    aggregation and tie-break is the operator's rule verbatim)."""
-    values = ", ".join(f"('{s}', '{d}')" for s, d in _SLLPA_EDGES)
+def _sllpa_sweeps_sql(n_sweeps: int, min_assoc: float, id_alias: str = "id") -> str:
+    """The UNROLLED speaker-listener sweep chain of
+    operators/communities.overlapping_label_propagation — one strongest/
+    heard/listened/memory CTE block per sweep (every window, aggregation
+    and tie-break is the operator's rule verbatim) — parameterized by a
+    preceding ``sym(a, b, weight)`` CTE. Returns the `, mem0 AS ...` chain
+    plus the final membership SELECT. Shared by the fixture twin
+    (`sllpa_overlap`) and the full-graph twin that the incremental
+    equality row (`incremental_sllpa`) compares against."""
     sweeps, prev = "", "mem0"
-    for k in range(1, _SLLPA_SWEEPS + 1):
+    for k in range(1, n_sweeps + 1):
         sweeps += f"""
             , strongest{k} AS (
                 SELECT id, label AS speak FROM (
@@ -2034,21 +2082,53 @@ def _sllpa_oracle_sql() -> str:
             )"""
         prev = f"mem{k}"
     return f"""
+        , mem0 AS (
+            SELECT a AS id, a AS label, 1 AS hits
+            FROM (SELECT DISTINCT a FROM sym)
+        ){sweeps}
+        , totals AS (SELECT id, SUM(hits) AS total FROM {prev} GROUP BY id)
+        SELECT m.id AS {id_alias}, m.label,
+               round(m.hits::double / t.total, 6) AS strength
+        FROM {prev} m JOIN totals t ON t.id = m.id
+        WHERE m.hits::double / t.total >= {min_assoc}"""
+
+
+def _sllpa_oracle_sql() -> str:
+    """DuckDB twin of overlapping_label_propagation on the fixed
+    two-triangle fixture (the `sllpa_overlap` row)."""
+    values = ", ".join(f"('{s}', '{d}')" for s, d in _SLLPA_EDGES)
+    return f"""
         WITH e(s, d) AS (VALUES {values}),
         sym AS (
             SELECT s AS a, d AS b, 1.0 AS weight FROM e
             UNION ALL
             SELECT d AS a, s AS b, 1.0 AS weight FROM e
-        ),
-        mem0 AS (
-            SELECT a AS id, a AS label, 1 AS hits
-            FROM (SELECT DISTINCT a FROM sym)
-        ){sweeps}
-        , totals AS (SELECT id, SUM(hits) AS total FROM {prev} GROUP BY id)
-        SELECT m.id, m.label,
-               round(m.hits::double / t.total, 6) AS strength
-        FROM {prev} m JOIN totals t ON t.id = m.id
-        WHERE m.hits::double / t.total >= {_SLLPA_MIN_ASSOC}"""
+        ){_sllpa_sweeps_sql(_SLLPA_SWEEPS, _SLLPA_MIN_ASSOC)}"""
+
+
+def _incremental_sllpa_oracle_sql() -> str:
+    """The `incremental_sllpa` equality row's twin: FULL SLLPA over the
+    canonical co-occurrence projection. The Spark side runs the SCOPED
+    incremental path (incremental_communities: delta → affected components
+    → re-detect only those, retain the rest from the old run); this twin
+    runs the whole-graph detection. Hash equality between them IS the
+    proof that scoped re-detection ≡ full re-detection for a
+    component-local deterministic detector."""
+    return (
+        _CANON_CTE
+        + """
+        , proj AS (
+            SELECT least(subj, obj) AS s, greatest(subj, obj) AS d,
+                   count(*)::double AS weight
+            FROM canon_triples WHERE subj <> obj
+            GROUP BY least(subj, obj), greatest(subj, obj)
+        ), sym AS (
+            SELECT s AS a, d AS b, weight FROM proj
+            UNION ALL
+            SELECT d AS a, s AS b, weight FROM proj
+        )"""
+        + _sllpa_sweeps_sql(_SLLPA_SWEEPS, _SLLPA_MIN_ASSOC, id_alias="entity_id")
+    )
 
 
 def _minhash_cte_body() -> str:
@@ -2372,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": _duplicate_spans_oracle_sql(),
         "substring_dedup": _substring_dedup_oracle_sql(),
         "sllpa_overlap": _sllpa_oracle_sql(),
+        "incremental_sllpa": _incremental_sllpa_oracle_sql(),
         "kg_triples_raw": _PAIRS_CTE + "SELECT DISTINCT subj, pred, obj FROM pairs",
         "kg_entities": _WORDS_CTE
         + "SELECT DISTINCT w AS entity_id, 'term' AS entity_type FROM ordered",

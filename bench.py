@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "graph_structure_report",
     "triangle_counts",
     "k_core_members",
+    "incremental_sllpa",
     "entity_pagerank",
     "seed_ppr",
     "seed_hop_distance",

@@ -559,6 +559,28 @@ def community_rank(membership: DataFrame, mentions: DataFrame) -> DataFrame:
     )
 
 
+def summarizer_fingerprint(summarizer) -> str:
+    """Stable identity of the G9 summarizer slot, baked into each summary
+    row so content-addressed reuse (`prior=`) never serves a summary
+    produced by a DIFFERENT model/template — the same invalidation rule as
+    embeddings.embedder_fingerprint (a swapped embedder must not reuse
+    stale vectors; a swapped summarizer must not reuse stale summaries)."""
+    if summarizer is None:
+        return "template-v1"
+    v = getattr(summarizer, "version", None)
+    if v:
+        return str(v)
+    t = summarizer if isinstance(summarizer, type) else type(summarizer)
+    if t.__module__ == "builtins" or t.__name__ == "function":
+        qualname = getattr(summarizer, "__qualname__", repr(summarizer))
+        if "<lambda>" in qualname:
+            # two lambdas share this qualname even module-qualified — no
+            # stable identity. Allowed without reuse; `prior=` rejects it.
+            return "unversioned-lambda"
+        return f"{getattr(summarizer, '__module__', 'unknown')}.{qualname}"
+    return f"{t.__module__}.{t.__qualname__}"
+
+
 def summarize_communities(
     membership: DataFrame,
     nodes: DataFrame,
@@ -567,16 +589,29 @@ def summarize_communities(
     top_n: int = COMMUNITY_TOP_SUMMARIES,
     level: int = 0,
     summarizer=None,
+    prior: DataFrame = None,
 ) -> DataFrame:
     """G7-G10: top-N level-0 communities by rank → summaries.
 
-    → community_summaries(community_id, level, rank, summary, full_content).
-    `summarizer` is the G9 LLM slot (reference summary/base.py:174-281 —
-    one model call per community over the stringified info): a callable
-    full_content → summary, run Arrow-batched via mapInPandas. None = the
-    deterministic template. Info stringification mirrors
-    'Nodes are: ... Relationships are: ...' (summary/base.py:16-46).
-    """
+    → community_summaries(community_id, level, rank, summary,
+    full_content, summarizer_v). `summarizer` is the G9 LLM slot
+    (reference summary/base.py:174-281 — one model call per community over
+    the stringified info): a callable full_content → summary, run
+    Arrow-batched via mapInPandas. None = the deterministic template. Info
+    stringification mirrors 'Nodes are: ... Relationships are: ...'
+    (summary/base.py:16-46).
+
+    ``prior``: a previous run's summary table → CONTENT-ADDRESSED reuse
+    (the extraction-cache pattern, S8/E3, applied to G9): a community
+    whose ``full_content`` is byte-identical to a prior row produced by
+    the SAME summarizer fingerprint reuses that summary; the summarizer
+    runs only on the misses. summary = f(full_content) for a
+    deterministic summarizer, so reuse is exact — and on a daily-delta
+    incremental run it turns per-community LLM cost from O(all
+    communities) into O(communities the delta actually changed).
+    Community ids may be relabeled wholesale between runs (dense per-level
+    ids); keying on content, not id, is what makes reuse survive that.
+    Template runs (summarizer None) skip reuse — the template is free."""
     top = (
         rank.filter(F.col("level") == level)
         .orderBy(F.desc("rank"), F.asc("community_id"))
@@ -628,15 +663,46 @@ def summarize_communities(
         F.size("edge_descs").cast("string"),
         F.lit(" relationships."),
     )
+    fp = summarizer_fingerprint(summarizer)
     out = info.select(
         "community_id",
         F.lit(level).alias("level"),
         F.col("rank").cast("bigint").alias("rank"),
         summary.alias("summary"),
         full_content.alias("full_content"),
+        F.lit(fp).alias("summarizer_v"),
     )
     if summarizer is None:
         return out
+
+    hits = None
+    if prior is not None and fp == "unversioned-lambda":
+        raise ValueError(
+            "content-addressed summary reuse needs a stable summarizer "
+            "fingerprint; set a `.version` attribute (or use a named "
+            "function/class)"
+        )
+    if prior is not None and "summarizer_v" in prior.columns:
+        pri = (
+            prior.filter(F.col("summarizer_v") == fp)
+            .select(
+                F.sha2("full_content", 256).alias("_ck"),
+                F.col("summary").alias("_prior_summary"),
+            )
+            .dropDuplicates(["_ck"])
+        )
+        joined = out.withColumn("_ck", F.sha2("full_content", 256)).join(
+            pri, on="_ck", how="left"
+        )
+        hits = joined.filter(F.col("_prior_summary").isNotNull()).select(
+            "community_id",
+            "level",
+            "rank",
+            F.col("_prior_summary").alias("summary"),
+            "full_content",
+            "summarizer_v",
+        )
+        out = joined.filter(F.col("_prior_summary").isNull()).select(*out.columns)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -644,8 +710,118 @@ def summarize_communities(
             pdf["summary"] = [summarizer(fc) for fc in pdf["full_content"]]
             yield pdf
 
-    return out.mapInPandas(
+    summarized = out.mapInPandas(
         run,
         schema="community_id string, level int, rank bigint, "
-               "summary string, full_content string",
+               "summary string, full_content string, summarizer_v string",
     )
+    return summarized if hits is None else summarized.unionByName(hits)
+
+
+# observability for the last incremental_communities call (tests assert the
+# delta actually scoped the re-detection) — same pattern as
+# connected_components.LAST_DISTRIBUTED_ROUNDS / pagerank.LAST_PATH
+INCR_COMM_LAST: dict = {}
+
+
+def incremental_communities(
+    old_wedges: DataFrame,
+    new_wedges: DataFrame,
+    old_membership: DataFrame,
+    detect_fn,
+    id_col: str = "id",
+    collect_stats: bool = False,
+) -> DataFrame:
+    """Scoped incremental community re-detection for the daily-delta
+    pipeline: re-run ``detect_fn`` ONLY on the connected components the
+    edge delta touched; every untouched component keeps its rows from
+    ``old_membership`` verbatim. The reference re-detects the whole graph
+    on every incremental run (integrations/build/incremental_update.py:
+    208-246 re-invokes the detector factory unconditionally); at 10⁹
+    vertices a daily delta touches a vanishing fraction of components, so
+    wholesale re-detection is almost entirely wasted work.
+
+    Contract: ``detect_fn(vertices, wedges) -> membership`` must be
+    COMPONENT-LOCAL and deterministic — label-propagation-family detectors
+    qualify (plain LPA, SLLPA/overlapping_label_propagation: every sweep
+    reads only neighbor state, so a component's labels are a function of
+    that component's subgraph alone). Under that contract the output is
+    ROW-IDENTICAL to ``detect_fn`` over the full new graph (the
+    `incremental_sllpa` oracle row proves exactly this equality: Spark
+    runs the incremental path, the DuckDB twin runs the full detection).
+    Modularity-family detectors are NOT component-local (the gain rule
+    divides by the global total weight 2m) — use full ``detect_communities``
+    for those.
+
+    Inputs are undirected weighted edge tables in canonical
+    ``weighted_projection`` form: one (s < d, weight) row per pair.
+    Vertices that lost every edge drop out of the result (the projection
+    carries no isolated vertices — same scope rule as
+    ``pagerank_projection``).
+
+    Scale shape: the delta diff is one full-outer join on the edge key;
+    component discovery is the size-adaptive diameter-independent CC
+    (pointer doubling → rounds ≈ log diameter); scoping is two hash
+    semi-joins; ``detect_fn`` then runs over only the affected subgraph.
+    No collect of any unbounded frame."""
+    norm = lambda e: e.select(
+        F.least("s", "d").alias("s"),
+        F.greatest("s", "d").alias("d"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    old_e = norm(old_wedges)
+    new_e = norm(new_wedges).transform(loop_checkpoint)
+
+    # edge delta: pairs present on one side only, or with a changed weight
+    diff = (
+        old_e.withColumnRenamed("weight", "w_old")
+        .join(new_e.withColumnRenamed("weight", "w_new"), on=["s", "d"], how="full_outer")
+        .filter(
+            F.col("w_old").isNull()
+            | F.col("w_new").isNull()
+            | (F.col("w_old") != F.col("w_new"))
+        )
+    )
+    touched = (
+        diff.select(F.col("s").alias("id"))
+        .unionByName(diff.select(F.col("d").alias("id")))
+        .distinct()
+    )
+
+    from graph_rag_agent_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    verts = (
+        new_e.select(F.col("s").alias("id"))
+        .unionByName(new_e.select(F.col("d").alias("id")))
+        .distinct()
+        .transform(loop_checkpoint)
+    )
+    comp = connected_components(verts, new_e, vertex_col="id", src_col="s", dst_col="d")
+    affected = comp.join(touched, on="id", how="left_semi").select("component").distinct()
+    refreshed_ids = (
+        comp.join(affected, on="component", how="left_semi")
+        .select("id")
+        .transform(loop_checkpoint)
+    )
+    # both endpoints of an edge share a component, so one semi-join scopes it
+    scoped = new_e.join(
+        refreshed_ids.withColumnRenamed("id", "s"), on="s", how="left_semi"
+    )
+
+    redetected = detect_fn(refreshed_ids, scoped)
+    retained = old_membership.join(
+        refreshed_ids.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+    ).join(verts.withColumnRenamed("id", id_col), on=id_col, how="left_semi")
+
+    global INCR_COMM_LAST
+    if collect_stats:
+        INCR_COMM_LAST = {
+            "touched_vertices": touched.count(),
+            "refreshed_vertices": refreshed_ids.count(),
+            "retained_rows": retained.count(),
+        }
+    else:
+        INCR_COMM_LAST = {}
+    return redetected.unionByName(retained.select(*redetected.columns))

@@ -104,11 +104,13 @@ class BuildPipeline:
         config: Optional[PipelineConfig] = None,
         extractor=None,
         run_id: Optional[str] = None,
+        summarizer=None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.config = config or PipelineConfig()
         self.extractor = extractor
+        self.summarizer = summarizer
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self._metrics: list = []
 
@@ -264,7 +266,9 @@ class BuildPipeline:
         self._save(hierarchy, "community_hierarchy", "communities_hierarchy", t0)
         t0 = time.time()
         rank = community_rank(membership, mentions)
-        summaries = summarize_communities(membership, nodes, edges, rank)
+        summaries = summarize_communities(
+            membership, nodes, edges, rank, summarizer=self.summarizer
+        )
         summaries = self._save(summaries, "community_summaries", "communities_summarize", t0)
 
         # chunk embeddings (I2, reference ChunkIndexBuilder — build step 3)

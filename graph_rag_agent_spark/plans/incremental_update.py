@@ -43,11 +43,13 @@ class IncrementalUpdatePipeline:
         catalog: TableCatalog,
         config: Optional[PipelineConfig] = None,
         extractor=None,
+        summarizer=None,
     ):
         self.spark = spark
         self.catalog = catalog
         self.config = config or PipelineConfig()
         self.extractor = extractor
+        self.summarizer = summarizer
         self.run_id = uuid.uuid4().hex[:12]
 
     def run_once(self, corpus: DataFrame) -> dict:
@@ -174,10 +176,20 @@ class IncrementalUpdatePipeline:
         membership = community_membership(cat.read("entity_communities"))
         cat.write(membership, "communities")
         rank = community_rank(cat.read("communities"), cat.read("mentions"))
-        summaries = summarize_communities(
-            cat.read("communities"), cat.read("nodes"), cat.read("edges"), rank
+        # content-addressed summary reuse (G9 × S8): a community whose
+        # stringified info is byte-identical to last run's — the usual case
+        # for every community the delta didn't touch — keeps its summary;
+        # the (LLM) summarizer runs only on the misses
+        prior = (
+            cat.read("community_summaries")
+            if self.summarizer is not None and cat.exists("community_summaries")
+            else None
         )
-        cat.write(summaries, "community_summaries")
+        summaries = summarize_communities(
+            cat.read("communities"), cat.read("nodes"), cat.read("edges"), rank,
+            summarizer=self.summarizer, prior=prior,
+        )
+        cat.write(summaries.localCheckpoint(eager=True), "community_summaries")
 
         # --- registry refresh + lineage -------------------------------------
         new_registry = corpus.select(
