@@ -44,6 +44,8 @@ from graph_rag_agent_spark.operators.curation import (
     PII_PATTERNS,
     contamination_overlap,
     filter_blocked_sources,
+    importance_weights,
+    lm_perplexity,
     pack_shards,
     rate_to_hex_threshold,
     redact_pii,
@@ -956,6 +958,33 @@ def _q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+# DSIR / LM-perplexity constants shared by the Spark queries and their
+# DuckDB twins. Target/reference domain = the 'en' slice of documents.
+_DSIR_BUCKETS = 4096
+_DSIR_SMOOTH = 1.0
+_LM_SMOOTH = 0.1
+
+
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (curation.importance_weights) with the 'en'
+    slice as the target domain — positive log_weight ⇒ more en-like than
+    the corpus average."""
+    docs = _docs(spark, sf_dir)
+    return importance_weights(
+        docs, docs.filter(F.col("lang") == "en"),
+        n_buckets=_DSIR_BUCKETS, smoothing=_DSIR_SMOOTH,
+    ).select("doc_id", "log_weight", F.col("n_features").cast("long").alias("n_features"))
+
+
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM negative log likelihood per document
+    (curation.lm_perplexity), reference counts from the 'en' slice."""
+    docs = _docs(spark, sf_dir)
+    return lm_perplexity(
+        docs, docs.filter(F.col("lang") == "en"), smoothing=_LM_SMOOTH
+    ).select("doc_id", "nll", F.col("n_bigrams").cast("long").alias("n_bigrams"))
+
+
 def _q_graph_structure_report(spark, sf_dir):
     """Reference GraphStructureQuality (density/connectivity/0.5-0.5
     quality, graph_metrics.py:332-355) over the full canonical graph."""
@@ -1224,6 +1253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "shard_manifest": _q_shard_manifest,
         "stratified_sample": _q_stratified_sample,
+        "dsir_weights": _q_dsir_weights,
+        "lm_perplexity": _q_lm_perplexity,
         "pii_redaction": _q_pii_redaction,
         "blocklist_filter": _q_blocklist_filter,
         "graph_structure_report": _q_graph_structure_report,
@@ -2785,6 +2816,75 @@ def oracle_sql() -> dict[str, str]:
                       WHEN 'zh' THEN '{rate_to_hex_threshold(0.75)}'
                       ELSE '{rate_to_hex_threshold(0.1)}'
                   END""",
+        "dsir_weights": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM documents
+            ), feats AS (
+                SELECT doc_id, lang,
+                       (('0x' || substr(md5(f), 1, 8))::UBIGINT
+                        % {_DSIR_BUCKETS})::BIGINT AS b
+                FROM (
+                    SELECT doc_id, lang, unnest(ws) AS f FROM toks
+                    UNION ALL
+                    SELECT doc_id, lang, ws[i] || ' ' || ws[i+1] AS f
+                    FROM (SELECT doc_id, lang, ws,
+                                 unnest(generate_series(1, len(ws) - 1)) AS i
+                          FROM toks WHERE len(ws) >= 2)
+                )
+            ), raw_cnt AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+            tgt_cnt AS (
+                SELECT b, count(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b
+            ), tot AS (
+                SELECT (SELECT count(*) FROM feats)::double AS R,
+                       (SELECT count(*) FROM feats WHERE lang = 'en')::double AS T
+            ), ratio AS (
+                SELECT r.b,
+                       ln((coalesce(t.ct, 0) + {_DSIR_SMOOTH})
+                          / (tot.T + {_DSIR_SMOOTH} * {_DSIR_BUCKETS}))
+                     - ln((r.cr + {_DSIR_SMOOTH})
+                          / (tot.R + {_DSIR_SMOOTH} * {_DSIR_BUCKETS})) AS lr
+                FROM raw_cnt r LEFT JOIN tgt_cnt t ON r.b = t.b, tot
+            )
+            SELECT f.doc_id, round(sum(ratio.lr), 6) AS log_weight,
+                   count(*)::BIGINT AS n_features
+            FROM feats f JOIN ratio ON f.b = ratio.b
+            GROUP BY f.doc_id""",
+        "lm_perplexity": f"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM documents
+            ), ref_uni AS (
+                SELECT f AS w1, count(*) AS cw
+                FROM (SELECT unnest(ws) AS f FROM toks WHERE lang = 'en')
+                GROUP BY f
+            ), vocab AS (SELECT count(*)::double AS V FROM ref_uni),
+            ref_bi AS (
+                SELECT bg, count(*) AS cbg FROM (
+                    SELECT ws[i] || ' ' || ws[i+1] AS bg
+                    FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                          FROM toks WHERE lang = 'en' AND len(ws) >= 2)
+                ) GROUP BY bg
+            ), doc_bi AS (
+                SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM toks WHERE len(ws) >= 2)
+            ), scored AS (
+                SELECT d.doc_id,
+                       ln((coalesce(b.cbg, 0) + {_LM_SMOOTH})
+                          / (coalesce(u.cw, 0) + {_LM_SMOOTH} * vocab.V)) AS lp
+                FROM doc_bi d
+                LEFT JOIN ref_bi b ON d.bg = b.bg
+                LEFT JOIN ref_uni u ON d.w1 = u.w1, vocab
+            )
+            SELECT doc_id, round(-avg(lp), 6) AS nll,
+                   count(*)::BIGINT AS n_bigrams
+            FROM scored GROUP BY doc_id
+            UNION ALL
+            SELECT doc_id, NULL::double AS nll, 0::BIGINT AS n_bigrams
+            FROM toks WHERE len(ws) < 2""",
         "graph_structure_report": _CANON_CTE + """
             , canon_nodes AS (
                 SELECT DISTINCT coalesce(c.canon, v.w) AS id

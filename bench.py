@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "fingerprints",
     "shard_manifest",
     "stratified_sample",
+    "dsir_weights",
+    "lm_perplexity",
     "pii_redaction",
     "blocklist_filter",
     "repetition_scores",

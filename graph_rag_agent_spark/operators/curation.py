@@ -193,6 +193,175 @@ def filter_blocked_sources(
     )
 
 
+def _hashed_features(
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str
+) -> DataFrame:
+    """→ (doc_id, bucket): one row per unigram AND word-bigram POSITION
+    (multiplicity kept — DSIR models feature counts, not sets), bucketed by
+    the engine-portable md5 hash (`('0x'||substr(md5,1,8))::UBIGINT % B` in
+    DuckDB ≡ `conv(substr(md5,1,8),16,10) % B` here). N-grams are built
+    row-local with zip_with over sliced token arrays; the only explode is
+    the final per-position flattening."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.concat(toks, bigrams)).alias("_f"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 16384,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every document by how much more likely its hashed n-gram features
+    are under a TARGET distribution (the domain you want more of) than
+    under the RAW corpus distribution.
+
+    → (doc_id, log_weight, n_features) where
+    ``log_weight = Σ_positions [ln p̂_target(bucket) − ln p̂_raw(bucket)]``
+    with add-``smoothing`` estimates ``p̂(b) = (count(b)+α) / (total+α·B)``
+    over unigram+bigram occurrences hashed into ``n_buckets`` buckets.
+    Positive → the doc looks more like the target domain than the corpus
+    average; selection = top-k or Gumbel resampling on this column.
+
+    Scale shape: two bucket-count aggregations (≤ B groups each — B is a
+    constant, so these reduce to near-nothing regardless of corpus size),
+    the B-row log-ratio table is BROADCAST onto the per-position feature
+    stream, and the only corpus-sized shuffle is the final groupBy(doc_id)
+    with map-side partial sums. No per-row Python anywhere.
+    """
+    feats = _hashed_features(docs, n_buckets, text_col, id_col)
+    tgt_feats = _hashed_features(target, n_buckets, text_col, id_col)
+
+    raw_cnt = feats.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    tgt_cnt = tgt_feats.groupBy("bucket").agg(F.count("*").alias("_ct"))
+    totals = (
+        raw_cnt.agg(F.sum("_cr").cast("double").alias("_R"))
+        .crossJoin(tgt_cnt.agg(F.sum("_ct").cast("double").alias("_T")))
+    )
+    a, b = float(smoothing), float(n_buckets)
+    ratio = (
+        raw_cnt.join(tgt_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("_ct"), F.lit(0)) + a) / (F.col("_T") + a * b))
+                - F.log((F.col("_cr") + a) / (F.col("_R") + a * b))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_lr"), 6).alias("log_weight"),
+            F.count("*").alias("n_features"),
+        )
+    )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    reference: DataFrame,
+    smoothing: float = 0.1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality filter (Wenzek et al.
+    2020 — there a KenLM 5-gram; here an add-k-smoothed word BIGRAM model,
+    the same filter semantics without the external model artifact): train
+    counts on a REFERENCE corpus (the high-quality slice — CCNet uses
+    Wikipedia), then score every document by its per-token negative log
+    likelihood. Low = fluent/reference-like; high = gibberish, boilerplate,
+    wrong-language — the standard keep/drop signal.
+
+    → (doc_id, nll, n_bigrams): ``nll = −(1/n)·Σ ln p(w_i | w_{i−1})``
+    over the doc's bigram positions, with
+    ``p(w2|w1) = (c(w1 w2)+k) / (c(w1)+k·V)`` — c(..) reference counts,
+    V the reference unigram vocabulary size (so unseen words/bigrams get
+    the smoothed floor). Docs with <2 tokens emit n_bigrams=0, nll NULL.
+
+    Scale shape: the reference count tables are vocabulary-sized (bounded
+    by the language, not the corpus — Heaps' law), joined onto the doc
+    bigram stream by ngram string with map-side partial aggregation on the
+    final groupBy(doc_id); V and the vocab totals ride a broadcast
+    cross-join. At 100 TB the stream is one explode + two hash joins +
+    one doc-keyed shuffle. No per-row Python.
+    """
+    def toks(df):
+        return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def bigrams(df, out_id):
+        t = toks(df)
+        n = F.size(t)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, F.greatest(n - 1, F.lit(0))),
+                    F.slice(t, 2, F.greatest(n - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("w1"), F.concat(x, F.lit(" "), y).alias("bg")),
+                )
+            ).alias("_p"),
+        ).select(out_id, F.col("_p.w1").alias("w1"), F.col("_p.bg").alias("bg"))
+
+    ref_bi = bigrams(reference, "_rid").groupBy("bg").agg(F.count("*").alias("_cbg"))
+    ref_uni = (
+        reference.select(F.explode(toks(reference)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("_cw"))
+    )
+    vocab = ref_uni.agg(F.count("*").cast("double").alias("_V"))
+    k = float(smoothing)
+
+    doc_bi = bigrams(docs, "doc_id")
+    scored = (
+        doc_bi.join(ref_bi, "bg", "left")
+        .join(ref_uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("_cbg"), F.lit(0)) + k)
+                / (F.coalesce(F.col("_cw"), F.lit(0)) + k * F.col("_V"))
+            ).alias("_lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.avg("_lp"), 6).alias("nll"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+    # docs too short for any bigram still get a row (n_bigrams=0, nll NULL)
+    short = (
+        docs.filter(F.size(toks(docs)) < 2)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.lit(None).cast("double").alias("nll"),
+            F.lit(0).cast("long").alias("n_bigrams"),
+        )
+    )
+    return scored.unionByName(short)
+
+
 def _distinct_shingles(docs: DataFrame, n: int, text_col: str, id_col: str, out_id: str) -> DataFrame:
     """→ (out_id, shingle): the DISTINCT n-token shingles of each document,
     built row-local with zip_with over sliced token arrays (no explode until
