@@ -736,6 +736,35 @@ def _q_global_search_map(spark, sf_dir):
     return global_search_map(_q_community_summaries(spark, sf_dir), level=0)
 
 
+def _q_global_search_reduce(spark, sf_dir):
+    """Q3 reduce phase (template slot): the deterministic newline-join of
+    the first 20 per-community intermediates by community_id, as a one-row
+    DataFrame — the string form ``global_search_reduce`` collects exactly
+    this row (reference search/global_search.py reduce stage). Bounded
+    TakeOrderedAndProject into one ≤20-row aggregate."""
+    from graph_rag_agent_spark.operators.search import global_search_reduce_df
+
+    return global_search_reduce_df(_q_global_search_map(spark, sf_dir))
+
+
+def _q_local_search_context(spark, sf_dir):
+    """Q1 END-TO-END: the assembled local-search context — chunk, community,
+    and inside/outside relationship sections newline-joined in retrieval
+    order into one row per section (reference local_search.py:86-137 builds
+    this exact context string for the LLM prompt). Composes the four
+    already-oracle-checked retrieval branches; ordering resolved via
+    array_sort-over-collect_list (no partition-less window)."""
+    from graph_rag_agent_spark.operators.search import local_search_context
+
+    res = _sf_canonical(spark, sf_dir)
+    membership, summaries = _sf_communities(spark, sf_dir)
+    seeds = _sf_seed_entities(spark, sf_dir).select(F.col("entity_id"))
+    chunks = _sf_chunks(spark, sf_dir)
+    return local_search_context(
+        chunks, res.mentions, res.edges, membership, summaries, seeds
+    )
+
+
 # G4 SLLPA fixture: two triangles sharing the bridge node x — the classic
 # overlapping-community shape; weights 1.0 (weighted_projection of distinct
 # pairs). The oracle UNROLLS the deterministic speaker-listener sweeps in
@@ -1230,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_mention": _q_link_mention,
         "community_summaries": _q_community_summaries,
         "global_search_map": _q_global_search_map,
+        "global_search_reduce": _q_global_search_reduce,
+        "local_search_context": _q_local_search_context,
         "top_communities_for_seeds": _q_top_communities_for_seeds,
         "seed_relationships": _q_seed_relationships,
         "sllpa_overlap": _q_sllpa_overlap,
@@ -2655,6 +2686,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.community_id,
                    '[map] ' || ({_SUMMARY_EXPR}) AS intermediate
             FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id""",
+        # Q3 reduce phase: newline-join of the first 20 intermediates by
+        # community_id (coalesce aligns DuckDB's NULL-on-empty string_agg
+        # with Spark's ''-on-empty concat_ws)
+        "global_search_reduce": _CANON_CTE + _COMM_SUMMARY_BODY + f"""
+            , gsr AS (
+                SELECT n.community_id,
+                       '[map] ' || ({_SUMMARY_EXPR}) AS intermediate
+                FROM ninfo n LEFT JOIN einfo e ON e.community_id = n.community_id
+                ORDER BY n.community_id LIMIT 20
+            )
+            SELECT coalesce(
+                string_agg(intermediate, chr(10) ORDER BY community_id), ''
+            ) AS answer FROM gsr""",
+        # Q1 END-TO-END: the assembled local-search context — one row per
+        # non-empty section, content = newline-join in retrieval order
+        # (chunks by freq desc, communities by (rank, weight) desc,
+        # relationships by (subj, obj) at constant extractor weight 1.0)
+        "local_search_context": _CANON_CTE + _COMM_SUMMARY_BODY
+        + _SEED_CTES + f"""
+            , lsc_freq AS (
+                SELECT x.ch, count(DISTINCT x.member_id) AS freq
+                FROM cmention x JOIN seeds s ON s.id = x.member_id
+                GROUP BY x.ch
+            ), lsc_chunk AS (
+                SELECT f.ch, f.freq, min(d.text) AS text
+                FROM lsc_freq f JOIN documents d ON sha256(d.text) = f.ch
+                GROUP BY f.ch, f.freq
+                ORDER BY f.freq DESC, f.ch LIMIT 3
+            ), lsc_cweight AS (
+                SELECT m.community_id, count(DISTINCT x.ch) AS weight
+                FROM memb m JOIN cmention x ON x.member_id = m.member_id
+                GROUP BY m.community_id
+            ), lsc_comm AS (
+                SELECT n.community_id, n.rnk,
+                       coalesce(w.weight, 0) AS weight,
+                       {_SUMMARY_EXPR} AS summary
+                FROM ninfo n
+                JOIN (SELECT DISTINCT m.community_id
+                      FROM memb m JOIN seeds s ON s.id = m.member_id) h
+                  ON h.community_id = n.community_id
+                LEFT JOIN einfo e ON e.community_id = n.community_id
+                LEFT JOIN lsc_cweight w ON w.community_id = n.community_id
+                ORDER BY n.rnk DESC, weight DESC, n.community_id LIMIT 3
+            ), lsc_flag AS (
+                SELECT t.subj, t.pred, t.obj,
+                       (t.subj IN (SELECT id FROM seeds)) AS ss,
+                       (t.obj IN (SELECT id FROM seeds)) AS so
+                FROM canon_triples t
+            ), lsc_in AS (
+                SELECT subj, pred, obj FROM lsc_flag WHERE ss AND so
+                ORDER BY subj, obj LIMIT 10
+            ), lsc_out AS (
+                SELECT subj, pred, obj FROM lsc_flag WHERE ss <> so
+                ORDER BY subj, obj LIMIT 10
+            )
+            SELECT section, content FROM (
+                SELECT 'chunk' AS section,
+                       string_agg(text, chr(10) ORDER BY freq DESC, ch)
+                           AS content
+                FROM lsc_chunk
+                UNION ALL
+                SELECT 'community',
+                       string_agg(summary, chr(10)
+                                  ORDER BY rnk DESC, weight DESC, community_id)
+                FROM lsc_comm
+                UNION ALL
+                SELECT 'rel_inside',
+                       string_agg(subj || ' -' || pred || '-> ' || obj,
+                                  chr(10) ORDER BY subj, obj)
+                FROM lsc_in
+                UNION ALL
+                SELECT 'rel_outside',
+                       string_agg(subj || ' -' || pred || '-> ' || obj,
+                                  chr(10) ORDER BY subj, obj)
+                FROM lsc_out
+            ) WHERE content IS NOT NULL""",
         # Q1 community branch: seed-hit communities by (rank, weight) desc;
         # seeds = top-5 canonical-degree entities; weight = Q2 community
         # weight (distinct mentioning chunks)

@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "link_mention",
     "community_summaries",
     "global_search_map",
+    "global_search_reduce",
+    "local_search_context",
     "top_communities_for_seeds",
     "seed_relationships",
     "graph_structure_report",

@@ -242,6 +242,130 @@ def sampled_neighborhood(
     return sampled
 
 
+def _ordered_concat(parts: DataFrame, sep: str = "\n") -> DataFrame:
+    """→ (section, content): per-section newline-join of ``content`` in
+    ``sort_key`` ascending order, with NO window and NO driver collect —
+    each section's parts are already top-k-bounded (≤ TOP_* rows), so the
+    sort happens inside ``array_sort`` over a collect_list aggregate, one
+    ordinary hash aggregation at any corpus size."""
+    return parts.groupBy("section").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sort_key", "content"))),
+                lambda s: s["content"],
+            ),
+        ).alias("content")
+    )
+
+
+def local_search_context(
+    chunks: DataFrame,
+    mentions: DataFrame,
+    edges: DataFrame,
+    membership: DataFrame,
+    summaries: DataFrame,
+    seeds: DataFrame,
+    top_chunks: int = TOP_CHUNKS,
+    top_communities: int = TOP_COMMUNITIES,
+    top_relationships: int = TOP_RELATIONSHIPS,
+) -> DataFrame:
+    """→ (section, content): the ASSEMBLED Q1 local-search context — the
+    reference's actual retrieval deliverable (search/local_search.py:86-137
+    builds one prompt context from the chunk, community, and inside/outside
+    relationship sections before handing it to the LLM). Sections:
+
+      chunk       top chunks by distinct-seed mention freq, texts joined
+      community   top seed-hit communities by (rank, weight), summaries
+      rel_inside  both endpoints seeds, 'subj -pred-> obj' lines
+      rel_outside exactly one endpoint a seed
+
+    Each section is a single row whose content is the newline-join of its
+    parts in retrieval order. Ordering is encoded in a sortable struct key
+    (negated numeric ranks + id tiebreaks) and resolved via
+    ``array_sort``-over-``collect_list`` — no partition-less window, no
+    driver loop; every input branch is the already-proven top-k plan.
+    Chunk identity is sha256(text) (the cross-engine chunk key used
+    throughout); empty sections emit no row."""
+    # chunk section: freq per chunk sha over seed mentions, then text
+    freq = (
+        mentions.join(F.broadcast(seeds.select("entity_id")), on="entity_id", how="left_semi")
+        .groupBy("chunk_id")
+        .agg(F.countDistinct("entity_id").alias("freq"))
+    )
+    sha_text = chunks.select(
+        "chunk_id", F.sha2("text", 256).alias("chunk_sha"), "text"
+    ).dropDuplicates(["chunk_id"])
+    chunk_top = (
+        freq.join(sha_text, on="chunk_id")
+        .groupBy("chunk_sha")
+        .agg(F.max("freq").alias("freq"), F.min("text").alias("text"))
+        .orderBy(F.desc("freq"), F.asc("chunk_sha"))
+        .limit(top_chunks)
+        .select(
+            F.lit("chunk").alias("section"),
+            F.struct((-F.col("freq")).alias("k1"), F.col("chunk_sha").alias("k2")).alias("sort_key"),
+            F.col("text").alias("content"),
+        )
+    )
+    comm = top_communities_for_seeds(
+        membership, summaries, mentions, seeds, limit=top_communities
+    ).select(
+        F.lit("community").alias("section"),
+        F.struct(
+            (-F.col("rank").cast("long")).alias("k1"),
+            (-F.col("weight").cast("long")).alias("k2"),
+            F.col("community_id").alias("k3"),
+        ).alias("sort_key"),
+        F.col("summary").alias("content"),
+    )
+    inside, outside = seed_relationships(edges, seeds, limit=top_relationships)
+    rel = lambda df, side: df.select(
+        F.lit(side).alias("section"),
+        F.struct(
+            (-F.col("weight")).alias("k1"),
+            F.col("subj").alias("k2"),
+            F.col("obj").alias("k3"),
+        ).alias("sort_key"),
+        F.concat(F.col("subj"), F.lit(" -"), F.col("pred"), F.lit("-> "), F.col("obj")).alias("content"),
+    )
+    # sort-key struct schemas differ per section: concat per section, union after
+    out = [
+        _ordered_concat(chunk_top),
+        _ordered_concat(comm),
+        _ordered_concat(rel(inside, "rel_inside")),
+        _ordered_concat(rel(outside, "rel_outside")),
+    ]
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def global_search_reduce_df(mapped: DataFrame, top_n: int = 20) -> DataFrame:
+    """→ (answer): Q3's reduce phase as a one-row DataFrame — the
+    deterministic newline-join of the first ``top_n`` intermediate answers
+    by community_id (the LLM-reduce slot's template path; the string form
+    ``global_search_reduce`` collects this same row). Bounded
+    TakeOrderedAndProject feeds one global aggregate of ≤ top_n rows."""
+    return (
+        mapped.orderBy(F.asc("community_id"))
+        .limit(top_n)
+        .groupBy()
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("community_id", "intermediate"))
+                    ),
+                    lambda s: s["intermediate"],
+                ),
+            ).alias("answer")
+        )
+    )
+
+
 def global_search_map(
     summaries: DataFrame, level: int = 0, map_fn=None
 ) -> DataFrame:

@@ -83,6 +83,56 @@ def test_global_search_map_reduce(spark):
     assert {r.intermediate for r in custom.collect()} == {"FULL ZERO", "FULL ONE"}
 
 
+def test_local_search_context_assembly(spark):
+    """The composed Q1 context: one row per non-empty section, content =
+    newline-join in retrieval order (chunks freq desc, communities
+    (rank, weight) desc, relationships weight desc)."""
+    from graph_rag_agent_spark.operators.search import local_search_context
+
+    nodes, emb, edges, chunks, mentions, membership, summaries = _graph(spark)
+    seeds = spark.createDataFrame(
+        [("DataLoader",), ("HttpClient",)], "entity_id string"
+    )
+    got = {r.section: r.content for r in local_search_context(
+        chunks, mentions, edges, membership, summaries, seeds
+    ).collect()}
+    assert set(got) == {"chunk", "community", "rel_inside", "rel_outside"}
+    # every chunk mentions ≥1 seed; c1/c2 tie at freq — sha asc breaks it
+    assert sorted(got["chunk"].split("\n")) == ["text one", "text three", "text two"]
+    # both communities are seed-hit; 0-0 has higher rank → first
+    assert got["community"] == "sum zero\nsum one"
+    # DataLoader->HttpClient is the only both-endpoint edge
+    assert got["rel_inside"] == "DataLoader -calls-> HttpClient"
+    # outside: weight desc → calls(2.0) before refs(0.5)
+    assert got["rel_outside"] == (
+        "DataLoader -calls-> parse_config\nHttpClient -refs-> parse_config"
+    )
+
+
+def test_local_search_context_empty_sections(spark):
+    """Sections with no parts emit no row (a single isolated seed has no
+    inside relationships and hits no community)."""
+    from graph_rag_agent_spark.operators.search import local_search_context
+
+    nodes, emb, edges, chunks, mentions, membership, summaries = _graph(spark)
+    seeds = spark.createDataFrame([("parse_config",)], "entity_id string")
+    got = {r.section: r.content for r in local_search_context(
+        chunks, mentions, edges, membership, summaries, seeds
+    ).collect()}
+    assert "rel_inside" not in got  # one seed → no both-endpoint edge
+    assert "chunk" in got and "rel_outside" in got
+
+
+def test_global_search_reduce_df_matches_string_form(spark):
+    from graph_rag_agent_spark.operators.search import global_search_reduce_df
+
+    *_, membership, summaries = _graph(spark)
+    mapped = global_search_map(summaries, level=0)
+    row = global_search_reduce_df(mapped).collect()
+    assert len(row) == 1
+    assert row[0].answer == global_search_reduce(mapped)
+
+
 def test_windowed_event_counts_static(spark):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     out = windowed_event_counts(events, window="1 hour")
