@@ -758,10 +758,24 @@ def _q_local_search_context(spark, sf_dir):
 
     res = _sf_canonical(spark, sf_dir)
     membership, summaries = _sf_communities(spark, sf_dir)
-    seeds = _sf_seed_entities(spark, sf_dir).select(F.col("entity_id"))
     chunks = _sf_chunks(spark, sf_dir)
+    # mentions feed THREE section branches (chunk freq, community hit,
+    # community weight) and stay lazy in the memo (single-consumer there);
+    # one local checkpoint stops the mention rewrite re-running per branch
+    # — the round-3 "checkpoint the canonical frames" lesson applied at
+    # the one query that fans them out
+    mentions = _memo(
+        spark,
+        f"lsc_mentions:{sf_dir}",
+        lambda: res.mentions.localCheckpoint(eager=True),
+    )
+    seeds = _memo(
+        spark,
+        f"lsc_seeds:{sf_dir}",
+        lambda: _sf_seed_entities(spark, sf_dir).localCheckpoint(eager=True),
+    )
     return local_search_context(
-        chunks, res.mentions, res.edges, membership, summaries, seeds
+        chunks, mentions, res.edges, membership, summaries, seeds
     )
 
 
