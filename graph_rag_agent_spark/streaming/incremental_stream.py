@@ -45,6 +45,37 @@ def run_incremental_stream(spark: SparkSession, path: str, pipeline, checkpoint:
     return q
 
 
+def streaming_triples(
+    stream: DataFrame,
+    extractor=None,
+    max_gleanings=None,
+) -> DataFrame:
+    """corpus stream → CONTINUOUS triple extraction: chunk (mapInPandas) →
+    extract (hash repartition + mapInPandas, gleaning passes included) →
+    parse (stateless select) — the full E-family build path as ONE
+    streaming plan, no foreachBatch. Every stage is stateless, so the
+    query runs in append mode with the file source's exactly-once
+    semantics: each new corpus file is chunked, extracted, and parsed into
+    (subj, pred, obj, description, weight, chunk_id) rows exactly once,
+    identical to the batch plan on the same rows (pytest-gated). The
+    within-batch chunk dedup the batch path does still happens (equal
+    chunk_ids co-partition in the extraction shuffle); cross-batch
+    re-extraction of already-seen texts is suppressed by composing
+    ``streaming_first_seen`` on chunk_id after chunking, or by the
+    extraction-cache anti-join in the foreachBatch path — both stay
+    available, this is the latency-shaped alternative."""
+    from graph_rag_agent_spark.operators.chunker import chunk_documents
+    from graph_rag_agent_spark.operators.extraction import extract_chunks
+    from graph_rag_agent_spark.operators.parsing import (
+        parse_records,
+        relationships_from_records,
+    )
+
+    chunks = chunk_documents(stream)
+    results = extract_chunks(chunks, extractor=extractor, max_gleanings=max_gleanings)
+    return relationships_from_records(parse_records(results))
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "5 minutes",

@@ -174,6 +174,46 @@ def test_windowed_event_counts_streaming(spark):
         assert got == static_total
 
 
+def test_streaming_triples_matches_batch(spark, tmp_path):
+    """The fully-streaming extraction plan (chunk → extract → parse, no
+    foreachBatch) emits exactly the batch plan's triples on the same rows."""
+    from graph_rag_agent_spark.operators.chunker import chunk_documents
+    from graph_rag_agent_spark.operators.extraction import extract_chunks
+    from graph_rag_agent_spark.operators.parsing import (
+        parse_records,
+        relationships_from_records,
+    )
+    from graph_rag_agent_spark.sources.corpus import generate_corpus
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        CORPUS_SCHEMA,
+        streaming_triples,
+    )
+
+    corpus = generate_corpus(spark, 20)
+    src = str(tmp_path / "corpus_in")
+    corpus.write.parquet(src)
+
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(src)
+    q = (
+        streaming_triples(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("triples_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = relationships_from_records(
+        parse_records(extract_chunks(chunk_documents(spark.read.parquet(src))))
+    )
+    cols = ["subj", "pred", "obj", "description", "weight", "chunk_id"]
+    got = sorted(map(tuple, spark.table("triples_out").select(cols).collect()))
+    want = sorted(map(tuple, batch.select(cols).collect()))
+    assert got == want and len(got) > 0
+
+
 def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState: a key emitted in an earlier micro-batch is
     suppressed in later ones (state survives via the checkpoint)."""
