@@ -46,6 +46,7 @@ from graph_rag_agent_spark.operators.curation import (
     filter_blocked_sources,
     importance_weights,
     lm_perplexity,
+    pack_sequences,
     pack_shards,
     rate_to_hex_threshold,
     redact_pii,
@@ -981,6 +982,27 @@ def _q_fingerprints(spark, sf_dir):
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.75}
 _SAMPLE_DEFAULT = 0.1
 _SHARD_BUDGET = 2000  # tokens per training shard
+_SEQ_LEN = 512        # tokens per packed training sequence
+
+
+def _q_sequence_manifest(spark, sf_dir):
+    """Concat-and-split sequence packing (the pretraining step after shard
+    binning): one row per (doc, sequence) span — seq_id, the doc-relative
+    token span [tok_start, tok_end) landing in that sequence, and the
+    span's offset inside the sequence. The SQL twin reproduces the
+    exclusive prefix sum and the span arithmetic with generate_series."""
+    spans = pack_sequences(
+        _docs(spark, sf_dir), seq_len=_SEQ_LEN, part_cols=("lang",)
+    )
+    return spans.select(
+        "lang",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.col("tok_end").cast("long").alias("tok_end"),
+        F.col("seq_offset").cast("long").alias("seq_offset"),
+    )
 
 
 def _q_shard_manifest(spark, sf_dir):
@@ -1297,6 +1319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_langid,
         "fingerprints": _q_fingerprints,
         "shard_manifest": _q_shard_manifest,
+        "sequence_manifest": _q_sequence_manifest,
         "stratified_sample": _q_stratified_sample,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
@@ -2928,6 +2951,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
             FROM p GROUP BY lang, shard_id""",
+        "sequence_manifest": f"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+                FROM documents
+            ), p AS (
+                SELECT doc_id, lang, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS prev
+                FROM t
+            )
+            SELECT lang, CAST(s.seq_id AS BIGINT) AS seq_id, doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(greatest(prev, s.seq_id * {_SEQ_LEN}) - prev AS BIGINT)
+                       AS tok_start,
+                   CAST(least(prev + n_tokens, (s.seq_id + 1) * {_SEQ_LEN}) - prev
+                        AS BIGINT) AS tok_end,
+                   CAST(greatest(prev, s.seq_id * {_SEQ_LEN})
+                        - s.seq_id * {_SEQ_LEN} AS BIGINT) AS seq_offset
+            FROM p, unnest(generate_series(
+                           CAST(prev // {_SEQ_LEN} AS BIGINT),
+                           CAST((prev + n_tokens - 1) // {_SEQ_LEN} AS BIGINT)
+                       )) AS s(seq_id)""",
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "language_id",
     "fingerprints",
     "shard_manifest",
+    "sequence_manifest",
     "stratified_sample",
     "dsir_weights",
     "lm_perplexity",

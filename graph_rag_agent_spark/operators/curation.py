@@ -106,6 +106,83 @@ def pack_shards(
     return out.drop("_bucket") if n_buckets > 0 else out
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    part_cols: Tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 0,
+) -> DataFrame:
+    """→ one row per (document, training sequence) SPAN: the
+    concat-and-split packing step that follows shard binning in a
+    pretraining pipeline — documents are concatenated in deterministic
+    (group, id) order and cut into fixed ``seq_len``-token training
+    sequences; a document crossing a cut emits one span row per sequence
+    it touches. Columns added: ``n_tokens``, ``seq_id`` (sequence index
+    within the group), ``tok_start``/``tok_end`` (the doc-relative token
+    half-open span landing in this sequence), ``seq_offset`` (where the
+    span starts inside the sequence) — exactly what a sequence writer
+    needs to emit attention-mask/document-boundary metadata.
+
+    The packing rule is the same exclusive-prefix-sum line as
+    ``pack_shards``: doc with prefix p and t tokens occupies group-token
+    interval [p, p+t), sequence k covers [k·L, (k+1)·L), so the doc spans
+    sequences floor(p/L) … floor((p+t−1)/L), exploded row-locally via
+    ``sequence()``. Every sequence except each group's last is exactly L
+    tokens when reassembled (Σ span widths = L — pytest-gated).
+
+    Scale shape: one window sort per group + a row-local explode whose
+    fan-out is ⌈t/L⌉ ≤ 1 + t/L rows per doc (total rows ≈ n_docs +
+    total_tokens/L — bounded). As in ``pack_shards``, pass
+    ``n_buckets > 0`` at 10⁹+ docs to distribute each group's sort over
+    deterministic md5 buckets (sequences then pack within
+    (group, bucket))."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = docs.withColumn("n_tokens", F.size(toks))
+    keys = [F.col(c) for c in part_cols]
+    if n_buckets > 0:
+        out = out.withColumn(
+            "_bucket",
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long") % n_buckets,
+        )
+        keys.append(F.col("_bucket"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    L = F.lit(int(seq_len))
+    out = (
+        out.withColumn("_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_prev") / L),
+                    F.floor((F.col("_prev") + F.col("n_tokens") - 1) / L),
+                )
+            ),
+        )
+        .withColumn("_seq_lo", F.col("seq_id") * L)
+        .withColumn(
+            "tok_start", F.greatest(F.col("_prev"), F.col("_seq_lo")) - F.col("_prev")
+        )
+        .withColumn(
+            "tok_end",
+            F.least(F.col("_prev") + F.col("n_tokens"), F.col("_seq_lo") + L)
+            - F.col("_prev"),
+        )
+        .withColumn(
+            "seq_offset",
+            F.greatest(F.col("_prev"), F.col("_seq_lo")) - F.col("_seq_lo"),
+        )
+        .drop("_prev", "_seq_lo")
+    )
+    return out.drop("_bucket") if n_buckets > 0 else out
+
+
 def shard_manifest(packed: DataFrame, part_cols: Tuple[str, ...] = ("lang",)) -> DataFrame:
     """→ one row per (part, shard_id): doc count + token total + id range —
     the trainer-facing shard index (and the oracle-checkable rollup)."""

@@ -301,3 +301,57 @@ def test_lm_perplexity_scores_fluent_below_gibberish(spark):
     assert out[1].nll < min(out[2].nll, out[3].nll)
     assert out[4].n_bigrams == 0 and out[4].nll is None
     assert out[1].n_bigrams == 5
+
+
+def test_pack_sequences_tiling_and_exact_lengths(spark, corpus):
+    from graph_rag_agent_spark.operators.curation import pack_sequences
+
+    L = 128
+    spans = pack_sequences(corpus, seq_len=L, part_cols=("lang",)).collect()
+    # per-doc tiling: spans cover [0, n_tokens) contiguously, in seq order
+    by_doc: dict = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == corpus.count()
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r.seq_id)
+        assert rows[0].tok_start == 0
+        assert rows[-1].tok_end == rows[0].n_tokens
+        for a, b in zip(rows, rows[1:]):
+            assert a.tok_end == b.tok_start and b.seq_id == a.seq_id + 1
+    # every sequence except each group's last reassembles to exactly L
+    by_seq: dict = {}
+    for r in spans:
+        by_seq.setdefault((r.lang, r.seq_id), 0)
+        by_seq[(r.lang, r.seq_id)] += r.tok_end - r.tok_start
+        assert 0 <= r.seq_offset < L
+        assert r.seq_offset + (r.tok_end - r.tok_start) <= L
+    for lang in {r.lang for r in spans}:
+        seqs = sorted(k[1] for k in by_seq if k[0] == lang)
+        assert seqs == list(range(len(seqs)))  # contiguous ids from 0
+        for s in seqs[:-1]:
+            assert by_seq[(lang, s)] == L  # exactly full
+        assert 0 < by_seq[(lang, seqs[-1])] <= L
+
+
+def test_pack_sequences_bucketed_packs_per_bucket(spark, corpus):
+    """n_buckets distributes the group sort; each (group, bucket) line
+    still packs exactly (all non-last sequences full) — verified by
+    re-deriving the bucket and checking totals per (lang, bucket)."""
+    from graph_rag_agent_spark.operators.curation import pack_sequences
+
+    L = 64
+    spans = pack_sequences(
+        corpus, seq_len=L, part_cols=("lang",), n_buckets=4
+    ).collect()
+    def bucket(doc_id):
+        import hashlib as h
+        return int(h.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 4
+    by = {}
+    for r in spans:
+        key = (r.lang, bucket(r.doc_id), r.seq_id)
+        by[key] = by.get(key, 0) + (r.tok_end - r.tok_start)
+    for (lang, b) in {(k[0], k[1]) for k in by}:
+        seqs = sorted(k[2] for k in by if k[:2] == (lang, b))
+        for s in seqs[:-1]:
+            assert by[(lang, b, s)] == L
