@@ -187,6 +187,29 @@ def main():
             if bad in p15:
                 failures.append(f"{name}: {bad} in the plan")
 
+    # 16. sequence packing: one keyed window sort (one Exchange), the span
+    # explode is row-local — no Python eval, no product joins
+    p16 = plan_of(entry_mod.queries()["sequence_manifest"](spark, sf))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        if bad in p16:
+            failures.append(f"sequence_manifest: {bad} in the plan")
+    n16 = p16.count("Exchange")
+    if n16 > 1:
+        failures.append(
+            f"sequence_manifest: {n16} Exchanges (expected 1: the window keys)"
+        )
+    if "Exchange SinglePartition" in p16:
+        failures.append("sequence_manifest: global single-partition exchange")
+
+    # 17. local-search context assembly: the section fan-out must stay on
+    # partition-keyed aggregates — no partition-less Window, no Python eval
+    p17 = plan_of(entry_mod.queries()["local_search_context"](spark, sf))
+    for bad in ("BatchEvalPython", "CartesianProduct",
+                "BroadcastNestedLoopJoin", "Window ["):
+        if bad in p17:
+            failures.append(f"local_search_context: {bad} in the plan")
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
