@@ -52,6 +52,7 @@ from graph_rag_agent_spark.operators.curation import (
     redact_pii,
     shard_manifest,
     stratified_sample,
+    temperature_sample,
 )
 from graph_rag_agent_spark.operators.similarity import cosine_col
 from graph_rag_agent_spark.operators.text_analysis import (
@@ -1016,6 +1017,20 @@ def _q_shard_manifest(spark, sf_dir):
     )
 
 
+_TEMP_ALPHA = 0.5
+
+
+def _q_temperature_sample(spark, sf_dir):
+    """α-temperature domain rebalancing (XLM-R mixture rule): per-lang keep
+    rates derived IN-PLAN from corpus counts (q ∝ p^α, smallest stratum
+    kept in full), membership the engine-portable md5-threshold rule. The
+    SQL twin re-derives counts → q → K → rate → hex threshold."""
+    return temperature_sample(
+        _docs(spark, sf_dir), alpha=_TEMP_ALPHA, strata_col="lang",
+        id_col="doc_id",
+    ).select("doc_id", "lang", F.round("rate", 6).alias("rate"))
+
+
 def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(
         _docs(spark, sf_dir), rates=_SAMPLE_RATES, strata_col="lang",
@@ -1321,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": _q_shard_manifest,
         "sequence_manifest": _q_sequence_manifest,
         "stratified_sample": _q_stratified_sample,
+        "temperature_sample": _q_temperature_sample,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "pii_redaction": _q_pii_redaction,
@@ -2976,6 +2992,32 @@ def oracle_sql() -> dict[str, str]:
                            CAST(prev // {_SEQ_LEN} AS BIGINT),
                            CAST((prev + n_tokens - 1) // {_SEQ_LEN} AS BIGINT)
                        )) AS s(seq_id)""",
+        "temperature_sample": f"""
+            WITH c AS (
+                SELECT lang, count(*)::DOUBLE AS n_s FROM documents GROUP BY lang
+            ), t AS (SELECT sum(n_s) AS n_total FROM c),
+            q AS (
+                SELECT lang, n_s,
+                       pow(n_s / (SELECT n_total FROM t), {_TEMP_ALPHA}) AS q_raw
+                FROM c
+            ), z AS (SELECT sum(q_raw) AS z FROM q),
+            q2 AS (SELECT lang, n_s, q_raw / (SELECT z FROM z) AS q FROM q),
+            k AS (SELECT min(n_s / q) AS k FROM q2),
+            r AS (
+                SELECT lang,
+                       least(1.0, q * (SELECT k FROM k) / n_s) AS rate
+                FROM q2
+            ), thr AS (
+                SELECT lang, rate,
+                       CASE WHEN rate >= 1.0 THEN 'g'
+                            ELSE lpad(lower(hex(CAST(floor(rate * 4294967296.0)
+                                                     AS BIGINT))), 8, '0')
+                       END AS t
+                FROM r
+            )
+            SELECT d.doc_id, d.lang, round(th.rate, 6) AS rate
+            FROM documents d JOIN thr th ON th.lang = d.lang
+            WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < th.t""",
         "stratified_sample": f"""
             SELECT doc_id, lang FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "shard_manifest",
     "sequence_manifest",
     "stratified_sample",
+    "temperature_sample",
     "dsir_weights",
     "lm_perplexity",
     "pii_redaction",

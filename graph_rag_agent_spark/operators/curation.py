@@ -59,6 +59,70 @@ def stratified_sample(
     return docs.filter(hashed < expr)
 
 
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ docs (+ ``rate``): α-temperature domain rebalancing — the
+    multilingual-pretraining mixture rule (XLM-R / mBERT exponential
+    smoothing): target share q_s ∝ p_s^α over observed stratum shares p_s,
+    realized by DOWNSAMPLING each stratum at
+    rate_s = min(1, q_s·K / n_s) with K = min_s(n_s / q_s), so the most
+    up-weighted (smallest) stratum is kept in full and every other
+    stratum's expected kept-count is exactly proportional to q_s. α=1 is
+    a no-op (all rates 1); α=0 targets the uniform mixture.
+
+    Membership is the same engine-portable pure-function-of-the-id rule as
+    ``stratified_sample`` (first 8 md5 hex chars under a per-stratum
+    threshold), but the thresholds are DERIVED from the corpus counts
+    inside the plan: two tiny stratum-level aggregates (counts, then the
+    K minimum) broadcast back onto the doc stream — no driver collect, no
+    RNG, reproducible across runs/partitionings/cluster sizes.
+
+    Scale shape: one count shuffle over ≤|strata| keys + broadcast joins
+    of |strata|-row frames + a map-only codegen filter. Skewed stratum
+    sizes are the POINT (that's what α corrects); the count agg partial-
+    aggregates map-side so the hot stratum never concentrates rows."""
+    c = docs.groupBy(strata_col).agg(
+        F.count("*").cast("double").alias("n_s")
+    )
+    tot = c.agg(F.sum("n_s").alias("n_total"))
+    q = c.crossJoin(F.broadcast(tot)).withColumn(
+        "q_raw", F.pow(F.col("n_s") / F.col("n_total"), F.lit(float(alpha)))
+    )
+    z = q.agg(F.sum("q_raw").alias("z"))
+    q2 = q.crossJoin(F.broadcast(z)).withColumn("q", F.col("q_raw") / F.col("z"))
+    kk = q2.agg(F.min(F.col("n_s") / F.col("q")).alias("k"))
+    rates = (
+        q2.crossJoin(F.broadcast(kk))
+        .withColumn(
+            "rate", F.least(F.lit(1.0), F.col("q") * F.col("k") / F.col("n_s"))
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            F.floor(F.col("rate") * F.lit(4294967296.0)).cast(
+                                "bigint"
+                            )
+                        )
+                    ),
+                    8,
+                    "0",
+                )
+            ),
+        )
+        .select(strata_col, "rate", "_thr")
+    )
+    out = docs.join(F.broadcast(rates), on=strata_col)
+    hashed = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    return out.filter(hashed < F.col("_thr")).drop("_thr")
+
+
 def pack_shards(
     docs: DataFrame,
     token_budget: int,

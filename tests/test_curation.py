@@ -355,3 +355,34 @@ def test_pack_sequences_bucketed_packs_per_bucket(spark, corpus):
         seqs = sorted(k[2] for k in by if k[:2] == (lang, b))
         for s in seqs[:-1]:
             assert by[(lang, b, s)] == L
+
+
+def test_temperature_sample_alpha1_noop_and_rates(spark, corpus):
+    from graph_rag_agent_spark.operators.curation import temperature_sample
+
+    # α=1: q == p → every rate 1.0, everything kept
+    kept = temperature_sample(corpus, alpha=1.0)
+    assert kept.count() == corpus.count()
+    assert {r.rate for r in kept.select("rate").distinct().collect()} == {1.0}
+
+
+def test_temperature_sample_rebalances_toward_small_strata(spark):
+    from graph_rag_agent_spark.operators.curation import temperature_sample
+
+    rows = [(i, "x", "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = temperature_sample(docs, alpha=0.5)
+    rates = {r.lang: r.rate for r in out.select("lang", "rate").distinct().collect()}
+    # smallest stratum is kept in full; the hot one is downsampled by the
+    # α-smoothed ratio: rate_big = (p_big^α / p_small^α) · (n_small/n_big)
+    assert rates["small"] == 1.0
+    import math
+    expect_big = (0.9 ** 0.5 / 0.1 ** 0.5) * (100 / 900)
+    assert math.isclose(rates["big"], expect_big, rel_tol=1e-9)
+    # membership is a pure function of the id: partitioning-invariant
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in temperature_sample(docs.repartition(13), alpha=0.5).collect()
+    )
+    assert a == b and 0 < len(a) < 1000
