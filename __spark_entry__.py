@@ -59,6 +59,7 @@ from graph_rag_agent_spark.operators.text_analysis import (
     LANG_MARKERS,
     fingerprints,
     language_id,
+    ngram_stats,
     quality_scores,
     repetition_scores,
     token_counts,
@@ -960,6 +961,17 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, n_clusters=8, threshold=0.4)
 
 
+_NGRAM_K = 200
+
+
+def _q_top_ngrams(spark, sf_dir):
+    """Corpus-level bigram vocabulary statistics: term + document frequency,
+    top-200 by (tf desc, term asc) — the frequency table tokenizer training
+    (BPE/SentencePiece) starts from. One term-keyed aggregation; top-k is
+    TakeOrderedAndProject."""
+    return ngram_stats(_docs(spark, sf_dir), n=2, k=_NGRAM_K)
+
+
 def _q_token_counts(spark, sf_dir):
     return token_counts(_docs(spark, sf_dir)).select(
         "doc_id", "n_tokens", "n_distinct_tokens", F.round("avg_token_len", 6).alias("avg_token_len")
@@ -1329,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
+        "top_ngrams": _q_top_ngrams,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
         "language_id": _q_langid,
@@ -2943,6 +2956,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id <> b.vec_id
             ) WHERE rn <= 5""",
+        "top_ngrams": f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(lower(text)), '\\s+') AS ws
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, ws[i] || ' ' || ws[i+1] AS term
+                FROM (SELECT doc_id, ws,
+                             unnest(generate_series(1, len(ws) - 1)) AS i
+                      FROM toks WHERE len(ws) >= 2)
+            )
+            SELECT term, count(*)::BIGINT AS tf,
+                   count(DISTINCT doc_id)::BIGINT AS df
+            FROM grams GROUP BY term
+            ORDER BY tf DESC, term LIMIT {_NGRAM_K}""",
         "token_counts": """
             SELECT doc_id,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "knn_per_label",
     "embedding_near_dups",
     "semantic_dedup",
+    "top_ngrams",
     "token_counts",
     "quality_scores",
     "language_id",

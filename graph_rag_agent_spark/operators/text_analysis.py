@@ -148,3 +148,42 @@ def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     return docs.select(
         F.col(id_col).alias("doc_id"), F.md5(normalized).alias("fingerprint")
     )
+
+
+def ngram_stats(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (term, tf, df): corpus-level word-n-gram statistics — term
+    frequency (all occurrences) and document frequency, top-``k`` by
+    (tf desc, term asc) — the vocabulary/frequency table that seeds
+    tokenizer training (BPE/SentencePiece both start from exactly this),
+    stopword induction, and boilerplate detection.
+
+    Scale shape: a row-local n-gram explode (fan-out len−n+1 per doc, the
+    same shape as the contamination shingler) into ONE term-keyed
+    aggregation — tf and df computed in the same groupBy (df via
+    count(distinct id)); top-k is a TakeOrderedAndProject, never a global
+    sort. All expressions JVM-side; the (tf desc, term asc) ordering is
+    total, so the k-boundary is engine-exact."""
+    ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = ws
+    else:
+        grams = F.transform(
+            F.slice(ws, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0))),
+            lambda _, i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), F.lit(n))),
+        )
+    exploded = docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("term"))
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.countDistinct("_id").cast("long").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("term"))
+        .limit(k)
+    )

@@ -386,3 +386,21 @@ def test_temperature_sample_rebalances_toward_small_strata(spark):
         for r in temperature_sample(docs.repartition(13), alpha=0.5).collect()
     )
     assert a == b and 0 < len(a) < 1000
+
+
+def test_ngram_stats_tf_df_and_unigrams(spark):
+    from graph_rag_agent_spark.operators.text_analysis import ngram_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x"), (3, "")],
+        "doc_id long, text string",
+    )
+    bi = {r.term: (r.tf, r.df) for r in ngram_stats(docs, n=2, k=10).collect()}
+    assert bi["a b"] == (3, 2)  # twice in doc 1, once in doc 2
+    assert bi["b c"] == (1, 1) and "c a" in bi
+    assert "" not in bi  # the empty doc emits no bigrams
+    uni = {r.term: (r.tf, r.df) for r in ngram_stats(docs, n=1, k=10).collect()}
+    assert uni["a"] == (3, 2) and uni["b"] == (3, 2) and uni["x"] == (1, 1)
+    # top-k boundary is the total (tf desc, term asc) order
+    top1 = ngram_stats(docs, n=1, k=1).collect()
+    assert [r.term for r in top1] == ["a"]
