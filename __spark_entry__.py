@@ -45,6 +45,7 @@ from graph_rag_agent_spark.operators.curation import (
     contamination_overlap,
     filter_blocked_sources,
     importance_weights,
+    learn_bpe,
     lm_perplexity,
     pack_sequences,
     pack_shards,
@@ -1029,6 +1030,15 @@ def _q_shard_manifest(spark, sf_dir):
     )
 
 
+def _q_bpe_merges(spark, sf_dir):
+    """BPE merge-table learning (Sennrich 2016) over the documents table:
+    distributed word-frequency reduction (one shuffle + bounded top-k) →
+    deterministic vocab-sized driver merge kernel. Iterative and therefore
+    not SQL-expressible — recorded as a rows-only check (the driver notes
+    which); the kernel itself is pytest-locked on closed-form fixtures."""
+    return learn_bpe(_docs(spark, sf_dir), n_merges=50, min_count=2)
+
+
 _TEMP_ALPHA = 0.5
 
 
@@ -1350,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_manifest": _q_sequence_manifest,
         "stratified_sample": _q_stratified_sample,
         "temperature_sample": _q_temperature_sample,
+        "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
         "lm_perplexity": _q_lm_perplexity,
         "pii_redaction": _q_pii_redaction,

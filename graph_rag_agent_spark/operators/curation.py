@@ -560,3 +560,51 @@ def contamination_overlap(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 100,
+    min_count: int = 1,
+    max_words: int = 1_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (rank, left, right, pair_count): a learned BPE merge table
+    (Sennrich et al. 2016) — the tokenizer-training step of a pretraining
+    data pipeline, split the way every practical trainer splits it:
+
+    1. DISTRIBUTED corpus → word-frequency reduction: one word-keyed
+       shuffle with map-side partial counts, ``min_count`` thresholding,
+       then a bounded (count desc, word asc) top-``max_words`` — a
+       TakeOrderedAndProject, so the driver receives a vocabulary-sized
+       table no matter the corpus size (10¹² docs reduce to the same
+       ≤max_words rows; this is the corpus-sized work).
+    2. DRIVER merge kernel over that table
+       (functions/bpe_kernel.bpe_merges): deterministic most-frequent-pair
+       merging with lexicographic tie-break — vocab-sized work, the same
+       locality decision subword-nmt / SentencePiece / HF tokenizers make.
+
+    Deterministic end to end: counts are exact, the top-k boundary is the
+    total (count, word) order, and the kernel's tie-break is total."""
+    from graph_rag_agent_spark.functions.bpe_kernel import bpe_merges
+
+    ws = F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+    counts = (
+        docs.select(ws)
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= int(min_count))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(max_words))
+    )
+    table = [(r.w, r.c) for r in counts.collect()]
+    merges = bpe_merges(table, n_merges)
+    spark = docs.sparkSession
+    if not merges:
+        return spark.createDataFrame(
+            [], "rank int, left string, right string, pair_count long"
+        )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )

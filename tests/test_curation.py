@@ -404,3 +404,36 @@ def test_ngram_stats_tf_df_and_unigrams(spark):
     # top-k boundary is the total (tf desc, term asc) order
     top1 = ngram_stats(docs, n=1, k=1).collect()
     assert [r.term for r in top1] == ["a"]
+
+
+def test_bpe_kernel_classic_fixture():
+    """The Sennrich worked example: 'est' assembles first (freq 9), then
+    'low'; segmentation of an unseen word reuses learned subwords."""
+    from graph_rag_agent_spark.functions.bpe_kernel import apply_merges, bpe_merges
+
+    wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    m = bpe_merges(wc, 10)
+    assert [(r[1], r[2]) for r in m[:3]] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+    assert m[0][3] == 9  # newest(6) + widest(3)
+    assert apply_merges("lowest", m)[0] == "low"
+    # deterministic: same input → identical table
+    assert bpe_merges(wc, 10) == m
+    # early stop: fully merged vocab ends the loop
+    assert len(bpe_merges([("ab", 1)], 100)) == 2  # a+b, ab+</w>
+
+
+def test_learn_bpe_distributed_reduction(spark):
+    from graph_rag_agent_spark.functions.bpe_kernel import bpe_merges
+    from graph_rag_agent_spark.operators.curation import learn_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest"),
+         (3, "widest widest widest rare")],
+        "doc_id long, text string",
+    )
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in learn_bpe(docs, n_merges=5, min_count=2).orderBy("rank").collect()]
+    # min_count=2 drops 'rare'; the kernel sees the same table either way
+    want = bpe_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5)
+    assert got == want
