@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "sequence_manifest",
     "stratified_sample",
     "temperature_sample",
+    "bpe_merges",
     "dsir_weights",
     "lm_perplexity",
     "pii_redaction",
