@@ -437,3 +437,24 @@ def test_learn_bpe_distributed_reduction(spark):
     # min_count=2 drops 'rare'; the kernel sees the same table either way
     want = bpe_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 5)
     assert got == want
+
+
+def test_bpe_tokenize_applies_learned_merges(spark):
+    from graph_rag_agent_spark.functions.bpe_kernel import apply_merges, bpe_merges
+    from graph_rag_agent_spark.operators.curation import bpe_tokenize, learn_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lower lower"),
+         (2, "newest newest newest newest newest newest"),
+         (3, "widest widest widest")],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe(docs, n_merges=8, min_count=1)
+    out = {r.doc_id: r for r in bpe_tokenize(docs, merges).collect()}
+    table = bpe_merges([("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)], 8)
+    # doc 1 = 5×low + 2×lower, segmented per word by the same kernel
+    want = apply_merges("low", table) * 5 + apply_merges("lower", table) * 2
+    assert list(out[1].subwords) == want
+    assert out[1].n_subwords == len(want)
+    # a fully-merged frequent word becomes a single symbol + marker fold
+    assert out[2].n_subwords <= 6 * 2
