@@ -81,22 +81,26 @@ def temperature_sample(
     K minimum) broadcast back onto the doc stream — no driver collect, no
     RNG, reproducible across runs/partitionings/cluster sizes.
 
-    Scale shape: one count shuffle over ≤|strata| keys + broadcast joins
-    of |strata|-row frames + a map-only codegen filter. Skewed stratum
-    sizes are the POINT (that's what α corrects); the count agg partial-
-    aggregates map-side so the hot stratum never concentrates rows."""
-    c = docs.groupBy(strata_col).agg(
-        F.count("*").cast("double").alias("n_s")
-    )
-    tot = c.agg(F.sum("n_s").alias("n_total"))
-    q = c.crossJoin(F.broadcast(tot)).withColumn(
-        "q_raw", F.pow(F.col("n_s") / F.col("n_total"), F.lit(float(alpha)))
-    )
-    z = q.agg(F.sum("q_raw").alias("z"))
-    q2 = q.crossJoin(F.broadcast(z)).withColumn("q", F.col("q_raw") / F.col("z"))
-    kk = q2.agg(F.min(F.col("n_s") / F.col("q")).alias("k"))
+    Scale shape: ONE count shuffle over ≤|strata| keys (map-side partial
+    aggregation — the hot stratum never concentrates rows; skewed stratum
+    sizes are the POINT, that's what α corrects), then the whole
+    n_total → q → K → rate derivation runs as a window chain OVER THE
+    |strata|-ROW COUNT FRAME in a single plan — the windows are
+    partition-less but bounded by construction at |strata| rows (domains,
+    not documents; a chained-aggregate formulation instead re-scans the
+    corpus once per derived quantity — measured 23 exchanges vs 4).
+    Finally one broadcast join puts the rates back on the doc stream and
+    a map-only codegen filter decides membership."""
+    wall = Window.partitionBy()
     rates = (
-        q2.crossJoin(F.broadcast(kk))
+        docs.groupBy(strata_col)
+        .agg(F.count("*").cast("double").alias("n_s"))
+        .withColumn(
+            "q_raw",
+            F.pow(F.col("n_s") / F.sum("n_s").over(wall), F.lit(float(alpha))),
+        )
+        .withColumn("q", F.col("q_raw") / F.sum("q_raw").over(wall))
+        .withColumn("k", F.min(F.col("n_s") / F.col("q")).over(wall))
         .withColumn(
             "rate", F.least(F.lit(1.0), F.col("q") * F.col("k") / F.col("n_s"))
         )

@@ -210,6 +210,35 @@ def main():
         if bad in p17:
             failures.append(f"local_search_context: {bad} in the plan")
 
+    # 18. temperature rebalancing: ONE corpus count shuffle; the rate
+    # derivation is a bounded |strata|-row window chain (regression: the
+    # chained-aggregate form re-scanned the corpus per derived quantity —
+    # 23 exchanges, 7 nested-loop joins)
+    p18 = plan_of(entry_mod.queries()["temperature_sample"](spark, sf))
+    n18 = p18.count("Exchange")
+    if n18 > 4:
+        failures.append(
+            f"temperature_sample: {n18} Exchanges (expected ≤4: corpus "
+            "count, strata window, broadcast)"
+        )
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                "BatchEvalPython", "ArrowEvalPython"):
+        if bad in p18:
+            failures.append(f"temperature_sample: {bad} in the plan")
+
+    # 19. n-gram stats: one term-keyed two-phase aggregate; top-k must be
+    # TakeOrderedAndProject (never a global sort), grams built row-locally
+    p19 = plan_of(entry_mod.queries()["top_ngrams"](spark, sf))
+    if "TakeOrderedAndProject" not in p19:
+        failures.append("top_ngrams: top-k is not TakeOrderedAndProject")
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "CartesianProduct"):
+        if bad in p19:
+            failures.append(f"top_ngrams: {bad} in the plan")
+    if p19.count("Exchange") > 2:
+        failures.append(
+            f"top_ngrams: {p19.count('Exchange')} Exchanges (expected 2)"
+        )
+
     spark.stop()
     if failures:
         print("PLAN CHECK FAILURES:")
