@@ -917,6 +917,19 @@ def _q_knn_per_label(spark, sf_dir):
     )
 
 
+def _q_session_windows(spark, sf_dir):
+    """Gap-based sessionization (session_window, 30-min gap per user) on the
+    static events table — the stateful streaming shape value-checked against
+    the classic gaps-and-islands SQL (lag + cumulative new-session flag), so
+    the builtin's merge rule is verified, not assumed."""
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        sessionized_event_counts,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionized_event_counts(events, gap="30 minutes")
+
+
 def _q_windowed_event_counts(spark, sf_dir):
     """N9/streaming rollup shape: the SAME windowed-aggregation function the
     streaming path uses (streaming/incremental_stream.windowed_event_counts)
@@ -1351,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
+        "session_windows": _q_session_windows,
         "top_ngrams": _q_top_ngrams,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -2907,6 +2921,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
             LIMIT 10""",
+        "session_windows": """
+            WITH o AS (
+                SELECT ts, user_id, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT ts, user_id, value,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ), ids AS (
+                SELECT ts, user_id, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sid
+                FROM flagged
+            )
+            SELECT CAST(min(ts) AS TIMESTAMP) AS session_start,
+                   CAST(to_timestamp(epoch(max(ts)) + 1800) AS TIMESTAMP)
+                       AS session_end,
+                   user_id, count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM ids GROUP BY user_id, sid""",
         "windowed_event_counts": """
             SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
                        AS window_start,

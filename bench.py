@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "blocklist_filter",
     "repetition_scores",
     "contamination_overlap",
+    "session_windows",
     "tpch_q1",
     "top_orders_per_segment",
     "regional_revenue",

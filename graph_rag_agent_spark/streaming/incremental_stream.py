@@ -96,6 +96,38 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """events(ts, user_id, value) → per-key GAP SESSIONS: Spark's native
+    ``session_window`` (dynamic-gap merging inside the aggregation — the
+    stateful sessionization Structured Streaming runs with watermark-bounded
+    state), evaluated identically on a static frame. A session's end is
+    last-event + gap (the builtin's close semantics); the DuckDB twin
+    reproduces it with the classic gaps-and-islands form (lag + cumulative
+    new-session flag), so the builtin's merge rule is value-checked, not
+    assumed. Works on a stream (append mode after the watermark closes a
+    session) and on batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_first_seen(
     stream: DataFrame,
     key_col: str = "chunk_id",

@@ -250,3 +250,30 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
         [("b",), ("c",)], "chunk_id string"
     ).write.mode("append").parquet(src)
     assert run_once() == {"c"}  # b already seen in batch 1
+
+
+def test_sessionized_event_counts_gap_semantics(spark):
+    """Events within the gap merge into one session (end = last + gap);
+    a larger silence splits; keys never merge across users."""
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        sessionized_event_counts,
+    )
+
+    rows = [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:20:00", 1, 2.0),   # within 30min of prev → same session
+        ("2024-01-01 10:45:00", 1, 3.0),   # within 30min of 10:20 → still same
+        ("2024-01-01 12:00:00", 1, 4.0),   # >30min silence → new session
+        ("2024-01-01 10:10:00", 2, 5.0),   # other user: own session
+    ]
+    events = spark.createDataFrame(rows, "ts string, user_id long, value double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in sessionized_event_counts(events, gap="30 minutes").collect()
+    )
+    assert got == [
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:15:00", 3, 6.0),
+        (1, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1, 4.0),
+        (2, "2024-01-01 10:10:00", "2024-01-01 10:40:00", 1, 5.0),
+    ]
