@@ -917,6 +917,52 @@ def _q_knn_per_label(spark, sf_dir):
     )
 
 
+def _q_asof_clicks(spark, sf_dir):
+    """As-of join: each click event matched to the user's latest
+    at-or-before view event (the time-series enrichment join) — window
+    formulation on the Spark side, NATIVE ``ASOF LEFT JOIN`` on the DuckDB
+    side, so the one-shuffle sweep is checked against a first-class
+    implementation."""
+    from graph_rag_agent_spark.operators.temporal import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, key_col="user_id", ts_col="ts",
+                    right_value_cols=["value"])
+    return out.select(
+        "event_id", "user_id", "ts", "ts_matched",
+        F.round("value_matched", 6).alias("value_matched"),
+    )
+
+
+def _q_events_in_sessions(spark, sf_dir):
+    """Range (point-in-interval) join: every event joined to its user's
+    containing gap-session interval — bucketed equi-join + exact
+    containment filter (plan-gated against the nested-loop degeneration);
+    the SQL twin is the plain inequality join over the gaps-and-islands
+    session CTE."""
+    from graph_rag_agent_spark.operators.temporal import range_join
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        sessionized_event_counts,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionized_event_counts(events, gap="30 minutes").select(
+        "user_id", "session_start", "session_end"
+    )
+    out = range_join(
+        events.select("event_id", "user_id", "ts"), sessions,
+        key_col="user_id", ts_col="ts",
+        start_col="session_start", end_col="session_end",
+    )
+    return out.select("event_id", "user_id", "session_start", "session_end")
+
+
 def _q_session_windows(spark, sf_dir):
     """Gap-based sessionization (session_window, 30-min gap per user) on the
     static events table — the stateful streaming shape value-checked against
@@ -1365,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
         "session_windows": _q_session_windows,
+        "asof_clicks": _q_asof_clicks,
+        "events_in_sessions": _q_events_in_sessions,
         "top_ngrams": _q_top_ngrams,
         "token_counts": _q_token_counts,
         "quality_scores": _q_quality,
@@ -2921,6 +2969,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
             LIMIT 10""",
+        "asof_clicks": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ), r AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'view'
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.ts AS ts_matched,
+                   round(r.value, 6) AS value_matched
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_in_sessions": """
+            WITH o AS (
+                SELECT ts, user_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT ts, user_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch(ts) - epoch(prev_ts) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ), ids AS (
+                SELECT ts, user_id,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS sid
+                FROM flagged
+            ), sess AS (
+                SELECT user_id,
+                       CAST(min(ts) AS TIMESTAMP) AS session_start,
+                       CAST(to_timestamp(epoch(max(ts)) + 1800) AS TIMESTAMP)
+                           AS session_end
+                FROM ids GROUP BY user_id, sid
+            )
+            SELECT e.event_id, e.user_id, s.session_start, s.session_end
+            FROM events e JOIN sess s
+              ON e.user_id = s.user_id
+             AND e.ts >= s.session_start AND e.ts <= s.session_end""",
         "session_windows": """
             WITH o AS (
                 SELECT ts, user_id, value,

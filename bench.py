@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "repetition_scores",
     "contamination_overlap",
     "session_windows",
+    "asof_clicks",
+    "events_in_sessions",
     "tpch_q1",
     "top_orders_per_segment",
     "regional_revenue",
