@@ -917,6 +917,18 @@ def _q_knn_per_label(spark, sf_dir):
     )
 
 
+def _q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per event_type over event ids (k=64, so
+    the (k−1)/h_k estimator path is exercised at every SF — groups hold
+    ~2000 distinct ids): md5 is engine-portable and the estimator is a
+    pure function of the k-th order statistic, so the sketch is
+    value-checked EXACTLY, not merely error-bounded."""
+    from graph_rag_agent_spark.operators.sketches import kmv_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(events, "event_type", "event_id", k=64)
+
+
 def _q_asof_clicks(spark, sf_dir):
     """As-of join: each click event matched to the user's latest
     at-or-before view event (the time-series enrichment join) — window
@@ -1411,6 +1423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
         "session_windows": _q_session_windows,
+        "kmv_distinct": _q_kmv_distinct,
         "asof_clicks": _q_asof_clicks,
         "events_in_sessions": _q_events_in_sessions,
         "top_ngrams": _q_top_ngrams,
@@ -2969,6 +2982,26 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
             LIMIT 10""",
+        "kmv_distinct": """
+            WITH d AS (
+                SELECT DISTINCT event_type,
+                       CAST(event_id AS VARCHAR) AS id
+                FROM events
+            ), h AS (
+                SELECT event_type, id,
+                       (('0x' || substring(md5(id), 1, 13))::BIGINT)::DOUBLE
+                           / 4503599627370496.0 AS hv
+                FROM d
+            ), rn AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv, id) AS r
+                FROM h
+            ), kept AS (SELECT * FROM rn WHERE r <= 64)
+            SELECT event_type, count(*)::BIGINT AS n_retained,
+                   round(CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+                              ELSE 63.0 / max(hv) END, 6) AS estimate
+            FROM kept GROUP BY event_type""",
         "asof_clicks": """
             WITH l AS (
                 SELECT event_id, user_id, ts FROM events

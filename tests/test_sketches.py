@@ -1,0 +1,41 @@
+"""KMV / HLL distinct-count sketches."""
+
+from pyspark.sql import functions as F
+
+from graph_rag_agent_spark.operators.sketches import hll_distinct, kmv_distinct
+
+
+def test_kmv_exact_below_capacity(spark):
+    df = spark.createDataFrame(
+        [("a", i % 10) for i in range(100)] + [("b", i) for i in range(3)],
+        "g string, id long",
+    )
+    got = {r.g: (r.n_retained, r.estimate) for r in
+           kmv_distinct(df, "g", "id", k=64).collect()}
+    assert got["a"] == (10, 10.0)   # 10 distinct < k → exact
+    assert got["b"] == (3, 3.0)
+
+
+def test_kmv_estimator_error_bound(spark):
+    # 5000 distinct ids, k=256 → rel err ≈ 1/sqrt(254) ≈ 6%; assert 4σ
+    df = spark.createDataFrame([("g", i) for i in range(5000)], "g string, id long")
+    est = kmv_distinct(df, "g", "id", k=256).collect()[0].estimate
+    assert abs(est - 5000) / 5000 < 0.25
+    # deterministic: repeated evaluation and different partitioning agree
+    est2 = kmv_distinct(df.repartition(7), "g", "id", k=256).collect()[0].estimate
+    assert est == est2
+
+
+def test_kmv_duplicate_ids_do_not_inflate(spark):
+    base = [("g", i) for i in range(1000)]
+    dup = spark.createDataFrame(base * 3, "g string, id long")
+    uniq = spark.createDataFrame(base, "g string, id long")
+    a = kmv_distinct(dup, "g", "id", k=128).collect()[0].estimate
+    b = kmv_distinct(uniq, "g", "id", k=128).collect()[0].estimate
+    assert a == b  # the distinct() stage makes multiplicity invisible
+
+
+def test_hll_error_bound(spark):
+    df = spark.createDataFrame([("g", i) for i in range(20000)], "g string, id long")
+    got = hll_distinct(df, "g", "id", rsd=0.02).collect()[0].approx_distinct
+    assert abs(got - 20000) / 20000 < 0.1
