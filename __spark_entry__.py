@@ -917,6 +917,19 @@ def _q_knn_per_label(spark, sf_dir):
     )
 
 
+def _q_cascading_rollup(spark, sf_dir):
+    """Hypertable continuous-aggregate cascade: 5-minute partials from raw,
+    hourly from the 5-minute partials, daily from hourly (count-of-counts /
+    sum-of-sums). The SQL twin aggregates each resolution DIRECTLY from
+    raw — green hashes prove the cascade is exactly associativity-safe."""
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        cascading_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cascading_rollup(events)
+
+
 def _q_kmv_distinct(spark, sf_dir):
     """KMV distinct-count sketch per event_type over event ids (k=64, so
     the (k−1)/h_k estimator path is exercised at every SF — groups hold
@@ -1423,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
         "session_windows": _q_session_windows,
+        "cascading_rollup": _q_cascading_rollup,
         "kmv_distinct": _q_kmv_distinct,
         "asof_clicks": _q_asof_clicks,
         "events_in_sessions": _q_events_in_sessions,
@@ -2982,6 +2996,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
             LIMIT 10""",
+        "cascading_rollup": """
+            SELECT 300 AS resolution_s,
+                   CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)
+                       AS window_start,
+                   event_type, count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY 2, event_type
+            UNION ALL
+            SELECT 3600,
+                   CAST(to_timestamp(floor(epoch(ts) / 3600) * 3600) AS TIMESTAMP),
+                   event_type, count(*)::BIGINT, round(sum(value), 6)
+            FROM events GROUP BY 2, event_type
+            UNION ALL
+            SELECT 86400,
+                   CAST(to_timestamp(floor(epoch(ts) / 86400) * 86400) AS TIMESTAMP),
+                   event_type, count(*)::BIGINT, round(sum(value), 6)
+            FROM events GROUP BY 2, event_type""",
         "kmv_distinct": """
             WITH d AS (
                 SELECT DISTINCT event_type,

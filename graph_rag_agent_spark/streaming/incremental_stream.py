@@ -168,3 +168,50 @@ def streaming_first_seen(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cascading_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: tuple = (300, 3600, 86400),
+) -> DataFrame:
+    """→ (resolution_s, window_start, key, n_events, total_value): the
+    hypertable continuous-aggregate cascade — the FINEST resolution
+    aggregates the raw events once; every coarser level re-aggregates the
+    PREVIOUS level's partials (count-of-counts / sum-of-sums, exact by
+    associativity). Refreshing a day therefore touches 24 hourly partials
+    instead of the raw rows — the property that makes multi-resolution
+    rollups affordable at 100 TB (and the shape a Structured Streaming
+    foreachBatch refresh would write level-by-level). Resolutions must be
+    ascending and each a multiple of the previous (asserted); rounding
+    happens only at the output so cascaded sums stay bit-comparable to
+    direct aggregation."""
+    res = [int(r) for r in resolutions]
+    assert all(b % a == 0 for a, b in zip(res, res[1:])), (
+        "each resolution must be a multiple of the previous"
+    )
+    bucket = (F.floor(F.unix_timestamp(F.col(ts_col)) / res[0]) * res[0]).alias("_b")
+    level = events.groupBy(bucket, key_col).agg(
+        F.count("*").alias("_n"), F.sum(value_col).alias("_v")
+    )
+    out = []
+    for i, r in enumerate(res):
+        if i > 0:
+            level = level.groupBy(
+                (F.floor(F.col("_b") / r) * r).alias("_b"), key_col
+            ).agg(F.sum("_n").alias("_n"), F.sum("_v").alias("_v"))
+        out.append(
+            level.select(
+                F.lit(r).alias("resolution_s"),
+                F.to_timestamp(F.col("_b")).alias("window_start"),
+                F.col(key_col),
+                F.col("_n").cast("long").alias("n_events"),
+                F.round("_v", 6).alias("total_value"),
+            )
+        )
+    acc = out[0]
+    for df in out[1:]:
+        acc = acc.unionByName(df)
+    return acc

@@ -277,3 +277,28 @@ def test_sessionized_event_counts_gap_semantics(spark):
         (1, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1, 4.0),
         (2, "2024-01-01 10:10:00", "2024-01-01 10:40:00", 1, 5.0),
     ]
+
+
+def test_cascading_rollup_matches_direct_aggregation(spark):
+    """Coarse levels re-aggregate fine partials; result must equal direct
+    aggregation from raw at every resolution (associativity)."""
+    from graph_rag_agent_spark.streaming.incremental_stream import cascading_rollup
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = cascading_rollup(events)
+    for r in (300, 3600, 86400):
+        direct = (
+            events.groupBy(
+                (F.floor(F.unix_timestamp("ts") / r) * r).alias("b"), "event_type"
+            )
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+        )
+        lvl = got.filter(F.col("resolution_s") == r).select(
+            F.unix_timestamp("window_start").alias("b"), "event_type",
+            F.col("n_events").alias("n"), F.col("total_value").alias("v"),
+        )
+        assert sorted(map(tuple, lvl.collect())) == sorted(map(tuple, direct.collect()))
+    # totals conserved across levels
+    per_level = {r["resolution_s"]: r["s"] for r in
+                 got.groupBy("resolution_s").agg(F.sum("n_events").alias("s")).collect()}
+    assert len(set(per_level.values())) == 1
