@@ -215,3 +215,39 @@ def cascading_rollup(
     for df in out[1:]:
         acc = acc.unionByName(df)
     return acc
+
+
+def refresh_rollup(
+    prior: DataFrame,
+    new_events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    resolutions: tuple = (300, 3600, 86400),
+) -> DataFrame:
+    """→ the maintained rollup: merge a DELTA of new events into a prior
+    ``cascading_rollup`` result — the continuous-aggregate refresh step a
+    foreachBatch sink runs per micro-batch. The delta is cascaded on its
+    own (touching only ITS buckets), then sum-merged with the prior
+    partials per (resolution, window, key) — one shuffle over the touched
+    buckets + the prior table, never the raw history. Exact by the same
+    associativity the cascade relies on: pytest gates
+    refresh(prior, delta) ≡ cascading_rollup(all events).
+
+    total_value is re-rounded only at the output; merging two
+    already-rounded partials changes the result by < 2·10⁻⁶ per merge —
+    acceptable for the 6-decimal contract, and a production deployment
+    would persist unrounded partials (the ``_v`` column pre-round) to make
+    refresh bit-exact at any depth."""
+    delta = cascading_rollup(
+        new_events, ts_col=ts_col, key_col=key_col, value_col=value_col,
+        resolutions=resolutions,
+    )
+    return (
+        prior.unionByName(delta)
+        .groupBy("resolution_s", "window_start", key_col)
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.round(F.sum("total_value"), 6).alias("total_value"),
+        )
+    )

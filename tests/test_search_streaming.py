@@ -302,3 +302,25 @@ def test_cascading_rollup_matches_direct_aggregation(spark):
     per_level = {r["resolution_s"]: r["s"] for r in
                  got.groupBy("resolution_s").agg(F.sum("n_events").alias("s")).collect()}
     assert len(set(per_level.values())) == 1
+
+
+def test_refresh_rollup_equals_full_recompute(spark):
+    """Incremental maintenance: cascade the delta alone, sum-merge with the
+    prior partials — must equal recomputing the cascade over everything."""
+    from graph_rag_agent_spark.streaming.incremental_stream import (
+        cascading_rollup,
+        refresh_rollup,
+    )
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    old = events.filter(F.col("event_id") % 3 != 0)
+    new = events.filter(F.col("event_id") % 3 == 0)
+    refreshed = refresh_rollup(cascading_rollup(old), new)
+    full = cascading_rollup(events)
+    key = ["resolution_s", "window_start", "event_type"]
+    a = sorted(map(tuple, refreshed.select(*key, "n_events", "total_value").collect()))
+    b = sorted(map(tuple, full.select(*key, "n_events", "total_value").collect()))
+    assert len(a) == len(b)
+    for (ra, rb) in zip(a, b):
+        assert ra[:4] == rb[:4]
+        assert abs(ra[4] - rb[4]) < 1e-5  # rounded-partial merge tolerance
