@@ -917,6 +917,27 @@ def _q_knn_per_label(spark, sf_dir):
     )
 
 
+def _q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (p50/p90/p99) of event value per
+    type — Spark's exact `percentile` vs DuckDB's `quantile_cont` (both
+    linear interpolation, so the row is hash-exact at 6 decimals). The
+    production path at 10¹² rows is `approx_percentile` (t-digest,
+    partial-aggregating); the exact form is the checkable twin."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        events.groupBy("event_type")
+        .agg(pct.alias("_p"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            "event_type",
+            F.round(F.element_at("_p", 1), 6).alias("p50"),
+            F.round(F.element_at("_p", 2), 6).alias("p90"),
+            F.round(F.element_at("_p", 3), 6).alias("p99"),
+            "avg_value",
+        )
+    )
+
+
 def _q_cascading_rollup(spark, sf_dir):
     """Hypertable continuous-aggregate cascade: 5-minute partials from raw,
     hourly from the 5-minute partials, daily from hourly (count-of-counts /
@@ -1436,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": _q_semantic_dedup,
         "windowed_event_counts": _q_windowed_event_counts,
         "session_windows": _q_session_windows,
+        "value_percentiles": _q_value_percentiles,
         "cascading_rollup": _q_cascading_rollup,
         "kmv_distinct": _q_kmv_distinct,
         "asof_clicks": _q_asof_clicks,
@@ -2996,6 +3018,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
             LIMIT 10""",
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   round(avg(value), 6) AS avg_value
+            FROM events GROUP BY event_type""",
         "cascading_rollup": """
             SELECT 300 AS resolution_s,
                    CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP)

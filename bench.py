@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "repetition_scores",
     "contamination_overlap",
     "session_windows",
+    "value_percentiles",
     "cascading_rollup",
     "kmv_distinct",
     "asof_clicks",
