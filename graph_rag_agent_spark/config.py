@@ -107,3 +107,16 @@ class PipelineConfig:
     entity_types: tuple = field(default=ENTITY_TYPES)
     relationship_types: tuple = field(default=RELATIONSHIP_TYPES)
     seed: int = SEED
+    # community detector for the BUILD/INCREMENTAL plans: 'auto' = the
+    # size-adaptive modularity detector (detect_communities);
+    # 'lpa' = weighted label propagation — COMPONENT-LOCAL, which lets the
+    # incremental plan re-detect only delta-touched components
+    # (communities.incremental_communities) instead of the whole graph
+    community_method: str = "auto"
+    # auto-vs-manual edit resolution (reference config/settings.py
+    # conflict_strategy; manual_edit_manager.resolve_conflicts:363-477)
+    conflict_strategy: str = "manual_first"
+    # warm-start PageRank from the previous run's rank table on
+    # incremental runs (pagerank initial_ranks; tol-mode)
+    pagerank_tol: float = 1e-6
+    pagerank_max_iter: int = 100

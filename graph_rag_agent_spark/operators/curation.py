@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 HASH_SPACE = 16 ** 8  # first 8 hex chars of md5
 
@@ -663,12 +664,19 @@ def bpe_tokenize(
                 subs.append(toks)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_subwords": [len(t) for t in subs],
                     "subwords": subs,
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(
-        run, schema="doc_id long, n_subwords long, subwords array<string>"
+    # derive the id field from the input schema so string ids (chunk_id
+    # sha1s elsewhere in the repo) pass through instead of miscasting
+    out_schema = T.StructType(
+        [
+            docs.schema[id_col],
+            T.StructField("n_subwords", T.LongType()),
+            T.StructField("subwords", T.ArrayType(T.StringType())),
+        ]
     )
+    return docs.select(id_col, text_col).mapInPandas(run, schema=out_schema)

@@ -83,6 +83,13 @@ def gc_deleted_docs(
     A chunk is doomed only if NO surviving document contains the same text
     (chunk_id = sha1(text) dedups across docs).
 
+    Manual-edit carve-out (SURVEY N6 "unless manual_edit/protected";
+    reference manual_edit_manager.py:308-361): when the nodes table carries
+    ``manual_edit``/``protected`` boolean columns, flagged entities are
+    EXEMPT from refcount GC — their mentions row survives too (so a later
+    re-add sees consistent provenance). Edges flagged ``manual_edit``
+    survive chunk-provenance GC likewise.
+
     → (nodes', edges', mentions')."""
     del_chunks = chunks_of_docs(chunks, deleted_docs).select("chunk_id")
     kept_chunks = chunks.join(
@@ -108,29 +115,89 @@ def gc_deleted_docs(
         (F.col("from_deleted") > 0) & (F.col("total") == F.col("from_deleted"))
     ).select("entity_id")
 
+    # manual-edit carve-out: flagged entities are never doomed
+    flag_cols = [c for c in ("manual_edit", "protected") if c in nodes.columns]
+    if flag_cols:
+        exempt = None
+        for c in flag_cols:
+            cond = F.coalesce(F.col(c), F.lit(False))
+            exempt = cond if exempt is None else (exempt | cond)
+        exempt_ids = nodes.filter(exempt).select("entity_id")
+        doomed = doomed.join(exempt_ids, on="entity_id", how="left_anti")
+
     nodes2 = nodes.join(doomed, on="entity_id", how="left_anti")
+    edges_gc = edges
+    if "manual_edit" in edges.columns:
+        manual_edges = edges.filter(F.coalesce(F.col("manual_edit"), F.lit(False)))
+        edges_gc = edges.filter(~F.coalesce(F.col("manual_edit"), F.lit(False)))
     edges2 = (
-        edges.join(deleted_chunk_ids, on="chunk_id", how="left_anti")
+        edges_gc.join(deleted_chunk_ids, on="chunk_id", how="left_anti")
         .join(doomed.withColumnRenamed("entity_id", "subj"), on="subj", how="left_anti")
         .join(doomed.withColumnRenamed("entity_id", "obj"), on="obj", how="left_anti")
         .select(edges.columns)
     )
+    if "manual_edit" in edges.columns:
+        edges2 = edges2.unionByName(manual_edges.select(edges.columns))
     mentions2 = mentions.join(deleted_chunk_ids, on="chunk_id", how="left_anti")
+    if flag_cols:
+        # keep the flagged entities' provenance rows alongside the entities
+        mentions2 = mentions2.unionByName(
+            mentions.join(deleted_chunk_ids, on="chunk_id", how="left_semi")
+            .join(exempt_ids, on="entity_id", how="left_semi")
+            .select(mentions2.columns)
+        )
     return nodes2, edges2, mentions2
 
 
-def upsert_nodes(existing: DataFrame, updates: DataFrame) -> DataFrame:
+def upsert_nodes(
+    existing: DataFrame,
+    updates: DataFrame,
+    conflict_strategy: str = "manual_first",
+) -> DataFrame:
     """N3: MERGE semantics for the nodes table — updated rows replace
     matched ids, new rows insert (anti-join + union; Iceberg MERGE INTO via
-    TableCatalog.upsert when a real catalog is configured)."""
+    TableCatalog.upsert when a real catalog is configured).
+
+    When ``existing`` carries manual-edit flags, rows with
+    ``manual_edit=true`` are NOT blindly replaced: the merge honors
+    ``conflict_strategy`` (reference manual_edit_manager.resolve_conflicts,
+    :363-477) via operators/manual_edits.resolve_conflicts; the default
+    matches the reference's ``manual_first``. Unflagged tables keep the
+    historical replace-on-match behavior bit-for-bit (one anti-join +
+    union, no strategy logic on that path)."""
+    if "manual_edit" in existing.columns:
+        from graph_rag_agent_spark.operators.manual_edits import resolve_conflicts
+
+        resolved = resolve_conflicts(existing, updates, strategy=conflict_strategy)
+        out_cols = [c for c in resolved.columns
+                    if c not in ("conflict_resolved", "conflict_resolution")]
+        return resolved.select(*out_cols)
     kept = existing.join(updates.select("entity_id"), on="entity_id", how="left_anti")
     return kept.unionByName(updates.select(existing.columns))
 
 
 def upsert_edges(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """N4: MERGE on (subj, pred, obj); new evidence replaces the matched
-    triple row (weight/description refresh), unmatched inserts."""
+    triple row (weight/description refresh), unmatched inserts. Edges
+    flagged ``manual_edit=true`` are preserved verbatim (their key is
+    exempt from replacement), mirroring the node-side carve-out."""
     keys = ["subj", "pred", "obj"]
+    if "manual_edit" in existing.columns:
+        # an auto-built updates frame may not carry the flag columns yet
+        for c in ("manual_edit", "protected"):
+            if c in existing.columns and c not in updates.columns:
+                updates = updates.withColumn(c, F.lit(False))
+        manual = existing.filter(F.coalesce(F.col("manual_edit"), F.lit(False)))
+        auto = existing.filter(~F.coalesce(F.col("manual_edit"), F.lit(False)))
+        updates2 = updates.join(
+            manual.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+        )
+        kept = auto.join(
+            updates2.select(*keys).dropDuplicates(keys), on=keys, how="left_anti"
+        )
+        return kept.unionByName(updates2.select(existing.columns)).unionByName(
+            manual.select(existing.columns)
+        )
     kept = existing.join(updates.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
     return kept.unionByName(updates.select(existing.columns))
 

@@ -316,14 +316,21 @@ def pagerank_projection(
     *,
     damping: float = 0.85,
     n_iter: int = 5,
+    tol: Optional[float] = None,
     reset: Optional[DataFrame] = None,
+    initial_ranks: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(Personalized) PageRank over the undirected weighted co-occurrence
     projection ``(s, d, weight)`` (communities.weighted_projection): edges
     are symmetrized, the vertex set is the projection's (isolated canonical
     entities carry no co-occurrence evidence and are excluded — document
     scope, not a bug). → (entity_id, pagerank) rounded to 6 for stable
-    cross-engine comparison."""
+    cross-engine comparison.
+
+    ``tol``/``initial_ranks`` pass through to ``pagerank`` — the
+    incremental plan warm-starts from the previous run's rank table
+    (``initial_ranks``) in tol mode, converging in fewer sweeps to the
+    same fixpoint (LAST_ITERATIONS pytest-gated)."""
     sym = projection.select(
         F.col("s").alias("src"), F.col("d").alias("dst"), "weight"
     ).unionByName(
@@ -337,8 +344,10 @@ def pagerank_projection(
         sym,
         damping=damping,
         n_iter=n_iter,
+        tol=tol,
         weight_col="weight",
         reset=reset,
+        initial_ranks=initial_ranks,
     )
     return pr.select(
         F.col("id").alias("entity_id"), F.round("pagerank", 6).alias("pagerank")

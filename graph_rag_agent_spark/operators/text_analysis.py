@@ -178,6 +178,10 @@ def ngram_stats(
             lambda _, i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), F.lit(n))),
         )
     exploded = docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("term"))
+    # blank/whitespace-only docs explode to [''] on the n=1 path (split of a
+    # trimmed empty string); drop the empty term so the unigram output is a
+    # clean vocabulary table, consistent with the n>=2 branch and learn_bpe
+    exploded = exploded.where(F.col("term") != "")
     return (
         exploded.groupBy("term")
         .agg(

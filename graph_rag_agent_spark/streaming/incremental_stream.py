@@ -176,6 +176,7 @@ def cascading_rollup(
     key_col: str = "event_type",
     value_col: str = "value",
     resolutions: tuple = (300, 3600, 86400),
+    keep_partials: bool = False,
 ) -> DataFrame:
     """→ (resolution_s, window_start, key, n_events, total_value): the
     hypertable continuous-aggregate cascade — the FINEST resolution
@@ -187,7 +188,12 @@ def cascading_rollup(
     foreachBatch refresh would write level-by-level). Resolutions must be
     ascending and each a multiple of the previous (asserted); rounding
     happens only at the output so cascaded sums stay bit-comparable to
-    direct aggregation."""
+    direct aggregation.
+
+    With ``keep_partials=True`` an extra UNROUNDED ``_v_raw`` column is
+    kept — the state a maintained rollup persists so that
+    ``refresh_rollup`` stays bit-exact at any refresh depth (round only at
+    read time)."""
     res = [int(r) for r in resolutions]
     assert all(b % a == 0 for a, b in zip(res, res[1:])), (
         "each resolution must be a multiple of the previous"
@@ -202,15 +208,16 @@ def cascading_rollup(
             level = level.groupBy(
                 (F.floor(F.col("_b") / r) * r).alias("_b"), key_col
             ).agg(F.sum("_n").alias("_n"), F.sum("_v").alias("_v"))
-        out.append(
-            level.select(
-                F.lit(r).alias("resolution_s"),
-                F.to_timestamp(F.col("_b")).alias("window_start"),
-                F.col(key_col),
-                F.col("_n").cast("long").alias("n_events"),
-                F.round("_v", 6).alias("total_value"),
-            )
-        )
+        cols = [
+            F.lit(r).alias("resolution_s"),
+            F.to_timestamp(F.col("_b")).alias("window_start"),
+            F.col(key_col),
+            F.col("_n").cast("long").alias("n_events"),
+            F.round("_v", 6).alias("total_value"),
+        ]
+        if keep_partials:
+            cols.append(F.col("_v").alias("_v_raw"))
+        out.append(level.select(*cols))
     acc = out[0]
     for df in out[1:]:
         acc = acc.unionByName(df)
@@ -232,22 +239,34 @@ def refresh_rollup(
     partials per (resolution, window, key) — one shuffle over the touched
     buckets + the prior table, never the raw history. Exact by the same
     associativity the cascade relies on: pytest gates
-    refresh(prior, delta) ≡ cascading_rollup(all events).
+    refresh(prior, delta) ≡ cascading_rollup(all events) bit-exactly.
 
-    total_value is re-rounded only at the output; merging two
-    already-rounded partials changes the result by < 2·10⁻⁶ per merge —
-    acceptable for the 6-decimal contract, and a production deployment
-    would persist unrounded partials (the ``_v`` column pre-round) to make
-    refresh bit-exact at any depth."""
+    The maintained state carries the UNROUNDED ``_v_raw`` partial and
+    round(·, 6) is applied only to the read-side ``total_value`` column,
+    so refresh is bit-exact at any micro-batch depth. A prior frame
+    without ``_v_raw`` (a plain read-side rollup) is accepted for
+    back-compat by seeding the partial from its rounded total_value —
+    that path alone carries the < 2·10⁻⁶-per-merge rounding drift."""
     delta = cascading_rollup(
         new_events, ts_col=ts_col, key_col=key_col, value_col=value_col,
-        resolutions=resolutions,
+        resolutions=resolutions, keep_partials=True,
     )
-    return (
-        prior.unionByName(delta)
+    if "_v_raw" not in prior.columns:
+        prior = prior.withColumn("_v_raw", F.col("total_value"))
+    merged = (
+        prior.select("resolution_s", "window_start", key_col, "n_events", "_v_raw")
+        .unionByName(
+            delta.select(
+                "resolution_s", "window_start", key_col, "n_events", "_v_raw"
+            )
+        )
         .groupBy("resolution_s", "window_start", key_col)
         .agg(
             F.sum("n_events").cast("long").alias("n_events"),
-            F.round(F.sum("total_value"), 6).alias("total_value"),
+            F.sum("_v_raw").alias("_v_raw"),
         )
+    )
+    return merged.select(
+        "resolution_s", "window_start", key_col, "n_events",
+        F.round("_v_raw", 6).alias("total_value"), "_v_raw",
     )

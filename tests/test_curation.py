@@ -458,3 +458,20 @@ def test_bpe_tokenize_applies_learned_merges(spark):
     assert out[1].n_subwords == len(want)
     # a fully-merged frequent word becomes a single symbol + marker fold
     assert out[2].n_subwords <= 6 * 2
+
+
+def test_bpe_tokenize_string_id_column(spark):
+    """ADVICE r4: output id field name/type must derive from id_col — the
+    repo's chunk ids are sha1 STRINGS, not longs."""
+    from graph_rag_agent_spark.operators.curation import bpe_tokenize, learn_bpe
+
+    docs = spark.createDataFrame(
+        [("c-aaa", "low low low lower"), ("c-bbb", "newest newest newest")],
+        "chunk_id string, text string",
+    )
+    merges = learn_bpe(docs, n_merges=4, min_count=1)
+    out = bpe_tokenize(docs, merges, id_col="chunk_id")
+    assert out.schema["chunk_id"].dataType.simpleString() == "string"
+    rows = {r.chunk_id: r for r in out.collect()}
+    assert set(rows) == {"c-aaa", "c-bbb"}
+    assert rows["c-aaa"].n_subwords == len(rows["c-aaa"].subwords) > 0

@@ -314,13 +314,29 @@ def test_refresh_rollup_equals_full_recompute(spark):
 
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     old = events.filter(F.col("event_id") % 3 != 0)
-    new = events.filter(F.col("event_id") % 3 == 0)
-    refreshed = refresh_rollup(cascading_rollup(old), new)
-    full = cascading_rollup(events)
+    mid = events.filter(F.col("event_id") % 3 == 0).filter(
+        F.col("event_id") % 2 == 0
+    )
+    new = events.filter(F.col("event_id") % 3 == 0).filter(
+        F.col("event_id") % 2 != 0
+    )
     key = ["resolution_s", "window_start", "event_type"]
-    a = sorted(map(tuple, refreshed.select(*key, "n_events", "total_value").collect()))
+    full = cascading_rollup(events)
     b = sorted(map(tuple, full.select(*key, "n_events", "total_value").collect()))
-    assert len(a) == len(b)
-    for (ra, rb) in zip(a, b):
-        assert ra[:4] == rb[:4]
-        assert abs(ra[4] - rb[4]) < 1e-5  # rounded-partial merge tolerance
+
+    # production path: state keeps the unrounded _v_raw partial → two
+    # chained refreshes are BIT-exact vs a full recompute
+    state = cascading_rollup(old, keep_partials=True)
+    state = refresh_rollup(state, mid)
+    refreshed = refresh_rollup(state, new)
+    a = sorted(map(tuple, refreshed.select(*key, "n_events", "total_value").collect()))
+    assert a == b
+
+    # back-compat path: a prior WITHOUT partials still merges, with the
+    # documented rounded-partial tolerance
+    legacy = refresh_rollup(cascading_rollup(old), mid.unionByName(new))
+    c = sorted(map(tuple, legacy.select(*key, "n_events", "total_value").collect()))
+    assert len(c) == len(b)
+    for (rc, rb) in zip(c, b):
+        assert rc[:4] == rb[:4]
+        assert abs(rc[4] - rb[4]) < 1e-5
