@@ -214,3 +214,21 @@ def test_pipeline_preserves_manual_edits_through_incremental_run(spark):
                     assert victim not in after or (
                         after[victim].description != "HAND-EDITED"
                     )
+
+
+def test_detect_manual_edits_stats(spark):
+    nodes = mark_manual_edits(
+        _nodes(spark, [("a", "t", "d"), ("b", "t", "d"), ("c", "t", "d")]),
+        spark.createDataFrame([("a",), ("b",)], "entity_id string"),
+    )
+    edges = spark.createDataFrame(
+        [("a", "p", "b", "d", 1.0, "ch1", True),
+         ("b", "p", "c", "d", 1.0, "ch2", False)],
+        "subj string, pred string, obj string, description string, "
+        "weight double, chunk_id string, manual_edit boolean",
+    )
+    from graph_rag_agent_spark.operators.manual_edits import detect_manual_edits
+
+    row = detect_manual_edits(nodes, edges).collect()[0]
+    assert (row.manual_entities, row.protected_entities,
+            row.manual_relationships) == (2, 0, 1)
