@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 RECALL_SIMILARITY = 0.7
 RECALL_TOPK = 5
@@ -78,9 +78,11 @@ def link_mention(
         .select("entity_id", "string_sim", F.round("vector_sim", 6).alias("vector_sim"),
                 F.round("score", 6).alias("score"))
     )
-    w = Window.orderBy(F.desc("score"), F.asc("entity_id"))
+    # top-1 by (score desc, id asc) via orderBy().limit(1): plans as
+    # TakeOrderedAndProject (scored is ≤ topk rows, but this also avoids
+    # the single-partition WindowExec a partition-less row_number plans)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("score") >= accept))
-        .drop("_rn")
+        scored.orderBy(F.desc("score"), F.asc("entity_id"))
+        .limit(1)
+        .filter(F.col("score") >= accept)
     )

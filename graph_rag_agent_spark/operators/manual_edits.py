@@ -108,9 +108,14 @@ def detect_manual_edits(nodes: DataFrame, edges: DataFrame | None = None) -> Dat
     """Reference detect_manual_edits (:169-270): → one-row stats frame
     (manual_entities, protected_entities, manual_relationships)."""
     nodes = ensure_edit_columns(nodes)
+    # coalesce: sum over an empty table is NULL, the stats row should say 0
     stats = nodes.agg(
-        F.sum(F.col("manual_edit").cast("long")).alias("manual_entities"),
-        F.sum(F.col("protected").cast("long")).alias("protected_entities"),
+        F.coalesce(F.sum(F.col("manual_edit").cast("long")), F.lit(0)).alias(
+            "manual_entities"
+        ),
+        F.coalesce(F.sum(F.col("protected").cast("long")), F.lit(0)).alias(
+            "protected_entities"
+        ),
     )
     n_rel = (
         edges.filter(F.col("manual_edit"))
