@@ -3171,10 +3171,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM canon_triples t
             ), lsc_in AS (
                 SELECT subj, pred, obj FROM lsc_flag WHERE ss AND so
-                ORDER BY subj, obj LIMIT 10
+                ORDER BY subj, obj, pred LIMIT 10
             ), lsc_out AS (
                 SELECT subj, pred, obj FROM lsc_flag WHERE ss <> so
-                ORDER BY subj, obj LIMIT 10
+                ORDER BY subj, obj, pred LIMIT 10
             )
             SELECT section, content FROM (
                 SELECT 'chunk' AS section,
@@ -3189,12 +3189,12 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'rel_inside',
                        string_agg(subj || ' -' || pred || '-> ' || obj,
-                                  chr(10) ORDER BY subj, obj)
+                                  chr(10) ORDER BY subj, obj, pred)
                 FROM lsc_in
                 UNION ALL
                 SELECT 'rel_outside',
                        string_agg(subj || ' -' || pred || '-> ' || obj,
-                                  chr(10) ORDER BY subj, obj)
+                                  chr(10) ORDER BY subj, obj, pred)
                 FROM lsc_out
             ) WHERE content IS NOT NULL""",
         # Q1 community branch: seed-hit communities by (rank, weight) desc;
@@ -3230,12 +3230,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'inside' AS side, subj, pred, obj,
                        CAST(1.0 AS DOUBLE) AS weight
                 FROM flagged WHERE ss AND so
-                ORDER BY subj, obj LIMIT 10
+                ORDER BY subj, obj, pred LIMIT 10
             ), outside AS (
                 SELECT 'outside' AS side, subj, pred, obj,
                        CAST(1.0 AS DOUBLE) AS weight
                 FROM flagged WHERE ss <> so
-                ORDER BY subj, obj LIMIT 10
+                ORDER BY subj, obj, pred LIMIT 10
             )
             SELECT * FROM inside UNION ALL SELECT * FROM outside""",
         "exact_dedup": """

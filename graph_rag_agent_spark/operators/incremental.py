@@ -204,8 +204,24 @@ def upsert_edges(existing: DataFrame, updates: DataFrame) -> DataFrame:
 
 def latest_wins(df: DataFrame, keys: list, ts_col: str = "last_updated") -> DataFrame:
     """N5: timestamp-based merge — keep the newest row per key
-    (incremental_graph_builder.py:455-524)."""
+    (incremental_graph_builder.py:455-524).
+
+    The timestamp alone is not a total order: two rows with equal
+    (key, ts) but different payloads would be picked arbitrarily, making
+    incremental-vs-full-rebuild equivalence run-dependent. All remaining
+    columns serve as ascending tiebreakers, so the winner is a pure
+    function of the data."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+    # maps are not orderable in Spark; every other type (incl. arrays and
+    # structs) sorts lexicographically
+    from pyspark.sql.types import MapType
+
+    unorderable = {f.name for f in df.schema.fields if isinstance(f.dataType, MapType)}
+    rest = [
+        c for c in df.columns if c not in keys and c != ts_col and c not in unorderable
+    ]
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(ts_col), *[F.asc(c) for c in rest]
+    )
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

@@ -103,7 +103,10 @@ def seed_relationships(
     outside = flagged.filter(
         F.col("_ss").isNotNull() != F.col("_so").isNotNull()
     ).select(edges.columns)
-    order = [F.desc("weight"), F.asc("subj"), F.asc("obj")]
+    # pred is the terminal tiebreaker: (subj, obj) alone is not total when a
+    # pair carries two predicates, which would make the limit-boundary (and
+    # the oracle hash) fixture-dependent
+    order = [F.desc("weight"), F.asc("subj"), F.asc("obj"), F.asc("pred")]
     return (
         inside.orderBy(*order).limit(limit),
         outside.orderBy(*order).limit(limit),
@@ -326,6 +329,7 @@ def local_search_context(
             (-F.col("weight")).alias("k1"),
             F.col("subj").alias("k2"),
             F.col("obj").alias("k3"),
+            F.col("pred").alias("k4"),
         ).alias("sort_key"),
         F.concat(F.col("subj"), F.lit(" -"), F.col("pred"), F.lit("-> "), F.col("obj")).alias("content"),
     )

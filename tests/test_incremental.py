@@ -88,6 +88,15 @@ def test_upsert_and_latest_wins(spark):
     )
     assert latest_wins(ts, ["key"]).collect()[0].v == "new"
 
+    # timestamp TIES resolve deterministically (remaining columns break the
+    # tie) — shuffle order must not pick the winner
+    tie = spark.createDataFrame(
+        [("k", 2, "b"), ("k", 2, "a"), ("k", 1, "z")],
+        "key string, last_updated int, v string",
+    ).repartition(8)
+    for _ in range(3):
+        assert latest_wins(tie, ["key"]).collect()[0].v == "a"
+
 
 def test_incremental_equals_full_rebuild(spark):
     base = generate_corpus_pdf(40, seed=42)
