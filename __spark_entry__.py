@@ -132,8 +132,32 @@ def _crafted_canonical(spark: SparkSession):
     return _memo(spark, "crafted_canonical", make)
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Read one sf parquet table, spread across the session's cores.
+
+    The driver-generated sf tables are single-row-group parquet files —
+    unsplittable, so every scan-side map stage over them (explode, hash,
+    signature, parse) would otherwise run as ONE task regardless of core
+    count (guide §2.5: one huge unsplittable file → repartition right
+    after the read). One cheap hash repartition on the table key unlocks
+    full map-side parallelism for every consumer. Scale-adaptive: the
+    partition count derives from the session's defaultParallelism (never a
+    constant), and the explicit count keeps AQE from re-coalescing the
+    spread away."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _read_spread(spark, sf_dir, "documents", "doc_id")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read_spread(spark, sf_dir, "events", "event_id")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read_spread(spark, sf_dir, "embeddings", "vec_id")
 
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,7 +914,7 @@ def _q_minhash_pairs(spark, sf_dir):
 
 
 def _q_ann_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     q = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -908,7 +932,7 @@ def _q_knn_per_label(spark, sf_dir):
     for labels too large for one task and is equality-tested in pytest."""
     from graph_rag_agent_spark.operators.similarity import pairwise_topk_per_label
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     topk = pairwise_topk_per_label(emb, k=5)
     return topk.select(
         F.col("vec_id").cast("long").alias("vec_id"),
@@ -923,7 +947,7 @@ def _q_value_percentiles(spark, sf_dir):
     linear interpolation, so the row is hash-exact at 6 decimals). The
     production path at 10¹² rows is `approx_percentile` (t-digest,
     partial-aggregating); the exact form is the checkable twin."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         events.groupBy("event_type")
@@ -947,7 +971,7 @@ def _q_cascading_rollup(spark, sf_dir):
         cascading_rollup,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return cascading_rollup(events)
 
 
@@ -959,7 +983,7 @@ def _q_kmv_distinct(spark, sf_dir):
     value-checked EXACTLY, not merely error-bounded."""
     from graph_rag_agent_spark.operators.sketches import kmv_distinct
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return kmv_distinct(events, "event_type", "event_id", k=64)
 
 
@@ -971,7 +995,7 @@ def _q_asof_clicks(spark, sf_dir):
     implementation."""
     from graph_rag_agent_spark.operators.temporal import asof_join
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -997,7 +1021,7 @@ def _q_events_in_sessions(spark, sf_dir):
         sessionized_event_counts,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     sessions = sessionized_event_counts(events, gap="30 minutes").select(
         "user_id", "session_start", "session_end"
     )
@@ -1018,7 +1042,7 @@ def _q_session_windows(spark, sf_dir):
         sessionized_event_counts,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return sessionized_event_counts(events, gap="30 minutes")
 
 
@@ -1031,7 +1055,7 @@ def _q_windowed_event_counts(spark, sf_dir):
         windowed_event_counts,
     )
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     return windowed_event_counts(events, window="5 minutes")
 
 
@@ -1041,7 +1065,7 @@ def _q_embedding_near_dups(spark, sf_dir):
     operators/similarity.cosine_pairs_blocked)."""
     from graph_rag_agent_spark.operators.similarity import cosine_pairs_blocked
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     # n_blocks derived from a count so block payloads stay ~constant-size
     # at any corpus scale (round-2 judge ask — no static block count)
     pairs = cosine_pairs_blocked(emb, threshold=0.4)
@@ -1063,7 +1087,7 @@ def _q_semantic_dedup(spark, sf_dir):
     occur — real corpora use ~0.95+)."""
     from graph_rag_agent_spark.operators.similarity import semantic_dedup
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embeddings(spark, sf_dir)
     return semantic_dedup(emb, n_clusters=8, threshold=0.4)
 
 
@@ -1312,8 +1336,11 @@ def _span_table(spark, sf_dir):
     the audit report and the removal pass consume it)."""
 
     def make():
+        # production_hash: the shingle-keyed exchange moves 8-byte xxhash64
+        # keys instead of ~window·word strings (guide §2.3 — shuffle fewer
+        # bytes); span equality vs the string-keyed form is pytest-gated
         return duplicate_spans(
-            _docs(spark, sf_dir), window=_SPAN_WINDOW
+            _docs(spark, sf_dir), window=_SPAN_WINDOW, production_hash=True
         ).localCheckpoint(eager=True)
 
     return _memo(spark, f"dup_spans:{sf_dir}", make)
@@ -1487,7 +1514,7 @@ def _q_kmv_distinct_xxhash(spark, sf_dir):
     additionally pytest-gated in tests/test_sketches.py)."""
     from graph_rag_agent_spark.operators.sketches import kmv_distinct
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _events(spark, sf_dir)
     md5_est = kmv_distinct(events, "event_type", "event_id", k=64)
     xx_est = kmv_distinct(
         events, "event_type", "event_id", k=64, hash_fn="xxhash64"

@@ -95,18 +95,28 @@ def ngram_jaccard_pairs(
         _word_set(text_col).alias("_words"),
     )
     toks = base.select("id", *block_cols, "_lb", F.explode("_words").alias("w"))
-    docfreq = toks.groupBy("w").agg(F.count("*").alias("_df"))
+    # document frequency as a window over the token exchange — the former
+    # groupBy + join-back computed the token explode twice and shuffled it
+    # twice (guide §2.4: share one exchange)
     w_rank = Window.partitionBy("id").orderBy(F.asc("_df"), F.asc("w"))
     prefix = (
-        toks.join(docfreq, on="w")
+        toks.withColumn("_df", F.count("*").over(Window.partitionBy("w")))
         .withColumn("_rn", F.row_number().over(w_rank))
         .withColumn("_sz", F.count("*").over(Window.partitionBy("id")))
         .filter(F.col("_rn") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
-        .select("id", *block_cols, "_lb", "w", "_rn", "_sz")
+        # NARROW candidate rows (guide §2.3): the join equi-key folds
+        # (token, block, length-bucket) into one 8-byte hash; a key
+        # collision can only ADD candidates, and every candidate is
+        # re-verified below on exact words + block columns, so the output
+        # is exactly the pre-hash output
+        .select(
+            F.xxhash64("w", *[F.col(c) for c in block_cols], "_lb").alias("_k"),
+            "id", "_rn", "_sz",
+        )
+        .localCheckpoint(eager=True)  # both join sides read ONE materialization
     )
     a, b = prefix.alias("a"), prefix.alias("b")
-    on = [F.col("a.w") == F.col("b.w"), F.col("a.id") < F.col("b.id"), F.col("a._lb") == F.col("b._lb")]
-    on += [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    on = [F.col("a._k") == F.col("b._k"), F.col("a.id") < F.col("b.id")]
     # PPJoin size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
     on += [
         F.col("a._sz") * threshold <= F.col("b._sz"),
@@ -125,13 +135,32 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    wa = base.select(F.col("id").alias("id_a"), F.col("_words").alias("_wa"))
-    wb = base.select(F.col("id").alias("id_b"), F.col("_words").alias("_wb"))
+    # verify with BROADCAST side tables (guide §3.1/§8: decide on small
+    # rows, never shuffle the heavy word arrays per candidate pair — the
+    # former id-keyed joins moved every doc's array once per pair). Block
+    # equality is re-checked here, which also makes the hashed join key
+    # above collision-proof.
+    wa = base.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"_a_{c}") for c in block_cols],
+        F.col("_lb").alias("_a_lb"),
+        F.col("_words").alias("_wa"),
+    )
+    wb = base.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
+        F.col("_lb").alias("_b_lb"),
+        F.col("_words").alias("_wb"),
+    )
     inter = F.size(F.array_intersect(F.col("_wa"), F.col("_wb")))
     union = F.size(F.array_union(F.col("_wa"), F.col("_wb")))
+    blocks_ok = F.col("_a_lb") == F.col("_b_lb")
+    for c in block_cols:
+        blocks_ok = blocks_ok & (F.col(f"_a_{c}") == F.col(f"_b_{c}"))
     return (
-        cands.join(wa, on="id_a")
-        .join(wb, on="id_b")
+        cands.join(F.broadcast(wa), on="id_a")
+        .join(F.broadcast(wb), on="id_b")
+        .filter(blocks_ok)
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -302,21 +331,84 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """→ candidate near-dup pairs (doc_a, doc_b) sharing ≥ 1 LSH band.
 
-    Word-shingle → K minhashes (numpy, Arrow-batched) → B band keys →
-    self-join on band key. With K=64, B=16 (rows/band = 4) the S-curve
-    threshold sits at ≈ (1/16)^(1/4) ≈ 0.5 jaccard.
+    Word-shingle → K minhashes → B band keys → self-join on band key.
+    With K=64, B=16 (rows/band = 4) the S-curve threshold sits at
+    ≈ (1/16)^(1/4) ≈ 0.5 jaccard.
 
     `production_hash=False` (default) hashes each distinct shingle STRING
-    with md5 — the form the DuckDB oracle replays literally. The 100 TB
-    path is `production_hash=True`: per-word crc32 (C-speed, cached per
-    batch) then a VECTORIZED polynomial window hash over the word-hash
-    array — zero per-shingle Python; band keys fold numerically. Identical
-    LSH statistics (uniform 31-bit shingle hashes either way; recall
-    equality asserted in pytest), different hash family, so it is a
-    throughput path, not the oracle twin."""
+    with md5 — the form the DuckDB oracle replays literally. Since round 6
+    this path is PURE JVM (guide §4.1: built-ins over Python): shingles by
+    arrays_zip of shifted slices, shingle hash `conv(substr(md5(s),1,8))`,
+    the K mins as ONE partial-aggregating groupBy, band keys as in-row md5
+    folds — bit-identical to the old mapInPandas form (same md5-first-4-
+    bytes hash, same exact int64 (a·h+b) mod M, same "band:m,m,m,m" md5
+    key) with zero Python-boundary crossings and map-side combine on the
+    only shuffle. `production_hash=True` is the Arrow path: per-word crc32
+    then a VECTORIZED polynomial window hash over the word-hash array —
+    for corpora where JVM md5-per-shingle is the bottleneck. Identical LSH
+    statistics (uniform 31-bit shingle hashes either way; recall equality
+    asserted in pytest), different hash family, so it is a throughput
+    path, not the oracle twin."""
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     ha, hb = _minhash_params(num_hashes, seed)
+
+    if not production_hash:
+        # JVM oracle-twin path: mirrors the DuckDB CTE expression for
+        # expression (split(trim(lower)), md5 first 8 hex chars, exact
+        # int64 affine mins, "band:…" md5 band keys)
+        ws = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        m = F.greatest(F.size(ws) - (shingle - 1), F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(ws, i + 1, m) for i in range(shingle)])
+        grams = F.transform(
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(shingle)])
+        )
+        # docs with < shingle words contribute the single empty shingle
+        # (the mapInPandas form's `or {""}`); null text ⇒ size() is NULL
+        # ⇒ same branch
+        sh = F.when(F.size(ws) >= shingle, F.array_distinct(grams)).otherwise(
+            F.array(F.lit(""))
+        )
+        hv = docs.select(
+            F.col(id_col).cast("string").alias("id"), F.explode(sh).alias("s")
+        ).select(
+            "id",
+            (
+                F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+                % _MERSENNE
+            ).alias("h"),
+        )
+        mins = hv.groupBy("id").agg(
+            *[
+                F.min(
+                    (F.lit(int(ha[i])) * F.col("h") + F.lit(int(hb[i]))) % _MERSENNE
+                ).alias(f"m{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        band_keys = [
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(band)),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                )
+            )
+            for band in range(bands)
+        ]
+        banded = mins.select("id", F.explode(F.array(*band_keys)).alias("band"))
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.id") < F.col("b.id")])
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
 
     def md5_shingle_hashes(words, shingle_cache) -> np.ndarray:
         shingles = {
@@ -487,40 +579,33 @@ def duplicate_spans(
     """
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = docs.select(F.col(id_col).cast("string").alias("doc_id"), toks.alias("toks"))
+    # shingles as a zip of `window` shifted slices: the transform lambda
+    # touches only struct fields, so projection collapse cannot inline the
+    # tokenizing split() into a per-position slice (the previous
+    # slice-inside-lambda form re-split the whole text once per position —
+    # O(len²) per doc)
+    m = F.size("toks") - (window - 1)
+    zipped = F.arrays_zip(*[F.slice("toks", i + 1, m) for i in range(window)])
+    sh_arr = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(window)])
+    )
     sites = (
         base.filter(F.size("toks") >= window)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {window}), "
-                    f"i -> array_join(slice(toks, i + 1, {window}), ' '))"
-                )
-            ).alias("pos", "sh"),
-        )
+        .select("doc_id", F.posexplode(sh_arr).alias("pos", "sh"))
     )
     key = F.xxhash64("sh") if production_hash else F.col("sh")
     sites = sites.select("doc_id", "pos", key.alias("k"))
-    groups = (
-        sites.groupBy("k")
-        .agg(
-            F.count("*").alias("n_sites"),
-            F.min(F.struct("doc_id", "pos")).alias("owner"),
-        )
-        .filter(F.col("n_sites") >= 2)
-    )
+    # ownership + site counts as TWO window passes over ONE shingle-keyed
+    # exchange (the former groupBy(k) + join-back shuffled the site table
+    # twice); owner = rn 1 in (doc_id, pos) order ≡ the old min(struct)
+    wk = Window.partitionBy("k")
+    ranked = sites.withColumn(
+        "_rn", F.row_number().over(wk.orderBy("doc_id", "pos"))
+    ).withColumn("_ns", F.count("*").over(wk))
+    dup = ranked.filter((F.col("_ns") >= 2) & (F.col("_rn") > 1))
     if max_df is not None:
-        groups = groups.filter(F.col("n_sites") <= max_df)
-    dup = (
-        sites.join(groups, "k")
-        .filter(
-            ~(
-                (F.col("doc_id") == F.col("owner.doc_id"))
-                & (F.col("pos") == F.col("owner.pos"))
-            )
-        )
-        .select("doc_id", "pos")
-    )
+        dup = dup.filter(F.col("_ns") <= max_df)
+    dup = dup.select("doc_id", "pos")
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + F.lit(window - 1)).over(
         wdoc.rowsBetween(Window.unboundedPreceding, -1)

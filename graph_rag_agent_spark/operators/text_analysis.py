@@ -173,9 +173,15 @@ def ngram_stats(
     if n == 1:
         grams = ws
     else:
+        # n-grams as a zip of n shifted slices: the transform lambda touches
+        # only struct fields, so the token array is never re-derived inside
+        # the lambda. (The previous slice(ws, i+1, n)-inside-lambda form let
+        # projection collapse inline the split() there — re-tokenizing the
+        # whole text once per position, O(len²) per doc.)
+        m = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(*[F.slice(ws, i + 1, m) for i in range(n)])
         grams = F.transform(
-            F.slice(ws, 1, F.greatest(F.size(ws) - (n - 1), F.lit(0))),
-            lambda _, i: F.concat_ws(" ", F.slice(ws, i + F.lit(1), F.lit(n))),
+            zipped, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)])
         )
     exploded = docs.select(F.col(id_col).alias("_id"), F.explode(grams).alias("term"))
     # blank/whitespace-only docs explode to [''] on the n=1 path (split of a
