@@ -148,16 +148,28 @@ def _read_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataF
     return df.repartition(spark.sparkContext.defaultParallelism, F.col(key))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    """`spread=False` for map-trivial / aggregation-first consumers: when
+    the first operator is a high-reduction partial aggregation or a cheap
+    single-pass map, the one-task scan is already faster than paying the
+    spread exchange (measured per query at sf1.0 — see OPTIMIZATION_r06)."""
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _read_spread(spark, sf_dir, "documents", "doc_id")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
+    if not spread:
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
     return _read_spread(spark, sf_dir, "events", "event_id")
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read_spread(spark, sf_dir, "embeddings", "vec_id")
+    # embeddings consumers either aggregate into their own grouped shuffle
+    # (per-label KNN, ANN assignment) or broadcast — the spread exchange of
+    # the vector arrays only added cost (measured: embedding_near_dups
+    # 2.4→3.3s WITH spread), so this table reads plain
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -216,13 +228,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _q_kg_triples_raw(spark, sf_dir):
     """Pre-canonicalization distinct triples — SQL-checkable because every
-    sf document fits in one chunk (≤553 chars < chunk window)."""
-    rels = parse_relationships(_raw_results(spark, sf_dir))
+    sf document fits in one chunk (≤553 chars < chunk window). Derives
+    from the shared _sf_records checkpoint (one regex pass per session)."""
+    from graph_rag_agent_spark.operators.parsing import (
+        relationships_from_records,
+    )
+
+    rels = relationships_from_records(_sf_records(spark, sf_dir))
     return rels.select("subj", "pred", "obj").distinct()
 
 
 def _q_kg_entities(spark, sf_dir):
-    ents = parse_entities(_raw_results(spark, sf_dir))
+    from graph_rag_agent_spark.operators.parsing import entities_from_records
+
+    ents = entities_from_records(_sf_records(spark, sf_dir))
     return ents.select("entity_id", "entity_type").distinct()
 
 
@@ -256,7 +275,7 @@ def _q_kg_lineage_report(spark, sf_dir):
     # wire text — two full parse passes per evaluation); the checkpoint
     # materializes the slim records frame once, the production analogue of
     # the parsed-records stage table.
-    records = parse_records(_raw_results(spark, sf_dir)).localCheckpoint(eager=True)
+    records = _sf_records(spark, sf_dir)
     rels = relationships_from_records(records).select("chunk_id", "subj", "pred", "obj")
     mentions = derive_mentions(occurrences_from_records(records))
     base = chunks.groupBy("repo").agg(
@@ -294,16 +313,44 @@ def _q_kg_lineage_report(spark, sf_dir):
     )
 
 
+def _sf_records(spark, sf_dir):
+    """Memoized tagged-records frame — the ONLY regex discovery scan in the
+    sf parse phase. Every parse consumer (graph tables, lineage, mention
+    derivations) is a codegen'd split()/groupBy over this checkpoint, so
+    the regex pass runs once per session instead of once per consumer."""
+    def make():
+        return parse_records(_raw_results(spark, sf_dir)).localCheckpoint(
+            eager=True
+        )
+
+    return _memo(spark, f"records:{sf_dir}", make)
+
+
 def _sf_graph_tables(spark, sf_dir):
     """Raw (pre-canonicalization) nodes/edges/mentions, node+edge frames
     checkpointed once per session — shared by the canonical chain and the
-    entity-linking queries."""
+    entity-linking queries. All three derive from the _sf_records
+    checkpoint and all three are materialized: mentions feeds rank, the
+    summary chain, mention counts and the manual-edit plan — leaving it
+    lazy re-ran the occurrence distinct per consumer (measured 1-2.5s
+    apiece at sf1.0, vs one ~1s materialization here)."""
     def make():
-        nodes, edges, mentions = build_graph_tables(_raw_results(spark, sf_dir))
+        from graph_rag_agent_spark.operators.parsing import (
+            derive_mentions,
+            derive_nodes,
+            occurrences_from_records,
+            relationships_from_records,
+        )
+
+        records = _sf_records(spark, sf_dir)
+        # occurrences materialized once: nodes AND mentions both reduce it,
+        # and deriving each straight from records evaluated the occurrence
+        # union (split + explode + dedup) twice
+        occ = occurrences_from_records(records).localCheckpoint(eager=True)
         return (
-            nodes.localCheckpoint(eager=True),
-            edges.localCheckpoint(eager=True),
-            mentions,
+            derive_nodes(occ).localCheckpoint(eager=True),
+            relationships_from_records(records).localCheckpoint(eager=True),
+            derive_mentions(occ).localCheckpoint(eager=True),
         )
 
     return _memo(spark, f"graph_tables:{sf_dir}", make)
@@ -399,10 +446,17 @@ def _q_top_chunks_for_seeds(spark, sf_dir):
     """Q1 retrieval: seeds = top-5 raw-graph degree entities; chunks ranked
     by distinct seed mentions. Chunk key = sha256 of chunk text (sha1 chunk
     ids are not reproducible in DuckDB 1.0)."""
+    from graph_rag_agent_spark.operators.parsing import (
+        relationships_from_records,
+    )
+
     chunks = _sf_chunks(spark, sf_dir)
-    results = _raw_results(spark, sf_dir)
     _, _, mentions = _sf_graph_tables(spark, sf_dir)
-    triples = parse_relationships(results).select("subj", "pred", "obj").distinct()
+    triples = (
+        relationships_from_records(_sf_records(spark, sf_dir))
+        .select("subj", "pred", "obj")
+        .distinct()
+    )
     degree = (
         triples.select(F.col("subj").alias("entity_id"))
         .unionAll(triples.select(F.col("obj").alias("entity_id")))
@@ -879,7 +933,7 @@ def _q_incremental_sllpa(spark, sf_dir):
 
 
 def _q_exact_dedup(spark, sf_dir):
-    dups = exact_duplicates(_docs(spark, sf_dir))
+    dups = exact_duplicates(_docs(spark, sf_dir, spread=False))
     return dups.select(
         "content_sha256",
         "dup_count",
@@ -947,7 +1001,7 @@ def _q_value_percentiles(spark, sf_dir):
     linear interpolation, so the row is hash-exact at 6 decimals). The
     production path at 10¹² rows is `approx_percentile` (t-digest,
     partial-aggregating); the exact form is the checkable twin."""
-    events = _events(spark, sf_dir)
+    events = _events(spark, sf_dir, spread=False)
     pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     return (
         events.groupBy("event_type")
@@ -971,7 +1025,7 @@ def _q_cascading_rollup(spark, sf_dir):
         cascading_rollup,
     )
 
-    events = _events(spark, sf_dir)
+    events = _events(spark, sf_dir, spread=False)
     return cascading_rollup(events)
 
 
@@ -995,7 +1049,7 @@ def _q_asof_clicks(spark, sf_dir):
     implementation."""
     from graph_rag_agent_spark.operators.temporal import asof_join
 
-    events = _events(spark, sf_dir)
+    events = _events(spark, sf_dir, spread=False)
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -1055,7 +1109,7 @@ def _q_windowed_event_counts(spark, sf_dir):
         windowed_event_counts,
     )
 
-    events = _events(spark, sf_dir)
+    events = _events(spark, sf_dir, spread=False)
     return windowed_event_counts(events, window="5 minutes")
 
 
@@ -1103,21 +1157,21 @@ def _q_top_ngrams(spark, sf_dir):
 
 
 def _q_token_counts(spark, sf_dir):
-    return token_counts(_docs(spark, sf_dir)).select(
+    return token_counts(_docs(spark, sf_dir, spread=False)).select(
         "doc_id", "n_tokens", "n_distinct_tokens", F.round("avg_token_len", 6).alias("avg_token_len")
     )
 
 
 def _q_quality(spark, sf_dir):
-    return quality_scores(_docs(spark, sf_dir))
+    return quality_scores(_docs(spark, sf_dir, spread=False))
 
 
 def _q_langid(spark, sf_dir):
-    return language_id(_docs(spark, sf_dir))
+    return language_id(_docs(spark, sf_dir, spread=False))
 
 
 def _q_fingerprints(spark, sf_dir):
-    return fingerprints(_docs(spark, sf_dir))
+    return fingerprints(_docs(spark, sf_dir, spread=False))
 
 
 # mixing rates for the stratified-sample oracle row: two explicit strata,
@@ -1177,14 +1231,14 @@ def _q_temperature_sample(spark, sf_dir):
     kept in full), membership the engine-portable md5-threshold rule. The
     SQL twin re-derives counts → q → K → rate → hex threshold."""
     return temperature_sample(
-        _docs(spark, sf_dir), alpha=_TEMP_ALPHA, strata_col="lang",
+        _docs(spark, sf_dir, spread=False), alpha=_TEMP_ALPHA, strata_col="lang",
         id_col="doc_id",
     ).select("doc_id", "lang", F.round("rate", 6).alias("rate"))
 
 
 def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(
-        _docs(spark, sf_dir), rates=_SAMPLE_RATES, strata_col="lang",
+        _docs(spark, sf_dir, spread=False), rates=_SAMPLE_RATES, strata_col="lang",
         id_col="doc_id", default_rate=_SAMPLE_DEFAULT,
     ).select("doc_id", "lang")
 
@@ -1294,7 +1348,7 @@ _BLOCKED_SOURCES = ("src1", "src3")
 
 
 def _q_pii_redaction(spark, sf_dir):
-    aug = _docs(spark, sf_dir).select(
+    aug = _docs(spark, sf_dir, spread=False).select(
         "doc_id",
         F.concat(
             F.col("text"),

@@ -109,14 +109,35 @@ def ngram_jaccard_pairs(
         # collision can only ADD candidates, and every candidate is
         # re-verified below on exact words + block columns, so the output
         # is exactly the pre-hash output
-        .select(
-            F.xxhash64("w", *[F.col(c) for c in block_cols], "_lb").alias("_k"),
-            "id", "_rn", "_sz",
+        .withColumn(
+            "_k", F.xxhash64("w", *[F.col(c) for c in block_cols], "_lb")
         )
+        # each row also carries the doc's EARLIER prefix-key array (global
+        # (df, token) order, consistent across docs): the join below emits
+        # a pair only at its FIRST shared prefix token, which replaces the
+        # post-join dropDuplicates — at sf1.0 that exchange moved 378M
+        # candidate rows and was 24s of the 37s total
+        .withColumn(
+            "_ear",
+            F.collect_list("_k").over(
+                Window.partitionBy("id")
+                .orderBy("_rn")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("_k", "id", "_rn", "_sz", "_ear")
         .localCheckpoint(eager=True)  # both join sides read ONE materialization
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     on = [F.col("a._k") == F.col("b._k"), F.col("a.id") < F.col("b.id")]
+    # PPJoin first-match dedup: an earlier shared prefix token would itself
+    # be a prefix match on BOTH sides (ranks are one global order), so "no
+    # overlap between the two earlier-key arrays" keeps exactly the first
+    # match. A qualifying (J ≥ t) pair always passes the positional filter
+    # at its first match (the exactness argument the per-row pruning below
+    # already relies on); non-qualifying candidates suppressed here would
+    # have been dropped by the exact-jaccard verification anyway.
+    on += [~F.arrays_overlap(F.col("a._ear"), F.col("b._ear"))]
     # PPJoin size filter: t·|A| ≤ |B| and t·|B| ≤ |A|
     on += [
         F.col("a._sz") * threshold <= F.col("b._sz"),
@@ -130,37 +151,43 @@ def ngram_jaccard_pairs(
         )
         >= (threshold / (1.0 + threshold)) * (F.col("a._sz") + F.col("b._sz"))
     ]
-    cands = (
-        a.join(b, on=on)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    # distinct by construction: the first-match condition admits exactly one
+    # join row per unordered pair
+    cands = a.join(b, on=on).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
     )
-    # verify with BROADCAST side tables (guide §3.1/§8: decide on small
+    # verify with ONE broadcast side table (guide §3.1/§8: decide on small
     # rows, never shuffle the heavy word arrays per candidate pair — the
-    # former id-keyed joins moved every doc's array once per pair). Block
-    # equality is re-checked here, which also makes the hashed join key
-    # above collision-proof.
-    wa = base.select(
-        F.col("id").alias("id_a"),
-        *[F.col(c).alias(f"_a_{c}") for c in block_cols],
-        F.col("_lb").alias("_a_lb"),
-        F.col("_words").alias("_wa"),
+    # former id-keyed joins moved every doc's array once per pair). The
+    # SAME plan feeds both joins, so the broadcast exchange is built once
+    # and reused. Block equality is re-checked here, which also makes the
+    # hashed join key above collision-proof. The per-pair set intersection
+    # runs on xxhash64(word) longs instead of the word strings (~4× less
+    # per-pair hashing; exact unless two distinct corpus words collide in
+    # 64 bits), and union size is |A|+|B|−|A∩B| (arrays are
+    # distinct-valued), sparing the second per-pair hash-set build an
+    # array_union would cost.
+    side = base.select(
+        "id", *block_cols, "_lb",
+        F.transform("_words", lambda w: F.xxhash64(w)).alias("_wh"),
     )
-    wb = base.select(
-        F.col("id").alias("id_b"),
-        *[F.col(c).alias(f"_b_{c}") for c in block_cols],
-        F.col("_lb").alias("_b_lb"),
-        F.col("_words").alias("_wb"),
+    j = (
+        cands.join(F.broadcast(side), cands["id_a"] == side["id"])
+        .select(
+            "id_a", "id_b",
+            *[F.col(c).alias(f"_a_{c}") for c in block_cols],
+            F.col("_lb").alias("_a_lb"),
+            F.col("_wh").alias("_wa"),
+        )
+        .join(F.broadcast(side), F.col("id_b") == side["id"])
     )
-    inter = F.size(F.array_intersect(F.col("_wa"), F.col("_wb")))
-    union = F.size(F.array_union(F.col("_wa"), F.col("_wb")))
-    blocks_ok = F.col("_a_lb") == F.col("_b_lb")
+    inter = F.size(F.array_intersect(F.col("_wa"), F.col("_wh")))
+    union = F.size("_wa") + F.size("_wh") - inter
+    blocks_ok = F.col("_a_lb") == F.col("_lb")
     for c in block_cols:
-        blocks_ok = blocks_ok & (F.col(f"_a_{c}") == F.col(f"_b_{c}"))
+        blocks_ok = blocks_ok & (F.col(f"_a_{c}") == F.col(c))
     return (
-        cands.join(F.broadcast(wa), on="id_a")
-        .join(F.broadcast(wb), on="id_b")
-        .filter(blocks_ok)
+        j.filter(blocks_ok)
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
@@ -277,29 +304,95 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """→ (doc_a, doc_b, hamming ≤ max_hamming). Bucketed by each of 4
     16-bit chunks (pigeonhole: distance ≤ 3 ⇒ some 16-bit chunk equal),
-    so the join is on bucket keys, never all-pairs."""
-    sigs = simhash_signatures(docs, text_col, id_col)
-    chunks = sigs.select(
-        "id", "simhash",
+    so the join is on bucket keys, never all-pairs.
+
+    The bucket join runs over DISTINCT signatures (duplicate-heavy corpora
+    collapse 10×: at sf1.0 the doc-level join enumerated 244M candidate
+    pairs, the signature-level join 25M), each qualifying signature pair is
+    emitted exactly once at its FIRST equal chunk (in-join condition — no
+    dropDuplicates shuffle), and member lists expand signature pairs back
+    to doc pairs at output size. Hamming is a pure function of the two
+    signatures, so the expansion is exact."""
+    sigs = simhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
+    gs = (
+        sigs.groupBy("simhash")
+        .agg(F.collect_list("id").alias("_members"))
+        .localCheckpoint(eager=True)  # one row per distinct signature
+    )
+    mem = gs.select("simhash", F.explode("_members").alias("id"))
+
+    def chunk(col, j):
+        return F.shiftright(col, j * 16).bitwiseAND(F.lit(0xFFFF))
+
+    usig = gs.select("simhash")
+    chunks = usig.select(
+        "simhash",
         F.explode(
             F.array(*[
-                F.concat_ws(":", F.lit(i), F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)))
+                F.struct(
+                    F.lit(i).alias("bi"),
+                    (F.lit(i).cast("long") * 65536 + chunk(F.col("simhash"), i)).alias("bucket"),
+                )
                 for i in range(4)
             ])
-        ).alias("bucket"),
-    )
+        ).alias("_b"),
+    ).select("simhash", F.col("_b.bi").alias("bi"), F.col("_b.bucket").alias("bucket"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col("a.id") < F.col("b.id")])
-        .select(
-            F.col("a.id").alias("doc_a"),
-            F.col("b.id").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+    # first-match: no chunk before this bucket index is also equal
+    earlier_equal = F.lit(False)
+    for j in range(3):
+        earlier_equal = earlier_equal | (
+            (F.col("a.bi") > j)
+            & (chunk(F.col("a.simhash"), j) == chunk(F.col("b.simhash"), j))
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+    sig_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.simhash") < F.col("b.simhash"),
+                ~earlier_equal,
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ) <= F.lit(max_hamming),
+            ],
+        )
+        .select(
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
     )
-    return pairs
+    ma = mem.select(F.col("simhash").alias("_sa"), F.col("id").alias("_ida"))
+    mb = mem.select(F.col("simhash").alias("_sb"), F.col("id").alias("_idb"))
+    cross = (
+        sig_pairs.join(F.broadcast(ma), on="_sa")
+        .join(F.broadcast(mb), on="_sb")
+        .select(
+            F.least("_ida", "_idb").alias("doc_a"),
+            F.greatest("_ida", "_idb").alias("doc_b"),
+            "hamming",
+        )
+    )
+    m2 = mem.alias("ma").join(
+        F.broadcast(mem.alias("mb")),
+        on=[
+            F.col("ma.simhash") == F.col("mb.simhash"),
+            F.col("ma.id") < F.col("mb.id"),
+        ],
+    )
+    intra = m2.select(
+        F.col("ma.id").alias("doc_a"),
+        F.col("mb.id").alias("doc_b"),
+        F.lit(0).cast(
+            cross.schema["hamming"].dataType
+        ).alias("hamming"),
+    )
+    if max_hamming < 0:
+        return cross.filter(F.lit(False))
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
