@@ -61,6 +61,8 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple = ("lang",),
     length_bucket: int = 100,
+    profile_vocab_bound: int = 4096,
+    profile_flop_budget: float = 2e10,
 ) -> DataFrame:
     """→ (doc_a, doc_b, jaccard) for same-block pairs above threshold.
 
@@ -87,13 +89,57 @@ def ngram_jaccard_pairs(
     Scale shape: one groupBy on token (doc frequency), one window by doc id
     (prefix rank), one join on prefix tokens, two id-keyed verify joins —
     every key high-cardinality; a 10⁶-doc same-length block costs
-    O(candidates), not O(block²)."""
+    O(candidates), not O(block²).
+
+    PROFILE FAST PATH (round 6): jaccard is a pure function of the two
+    docs' distinct word SETS, so docs sharing (block, word-set) are
+    interchangeable — dedup to distinct profiles first (the simhash
+    distinct-signature trick), compute pair similarity ONCE per profile
+    pair with a blocked numpy bitmatrix matmul (guide §4.2), and expand
+    members back to doc pairs at output size. Only taken when two cheap
+    approx probes prove the regime: corpus vocabulary ≤
+    `profile_vocab_bound` AND Σ_block(distinct profiles)² · vocab ≤
+    `profile_flop_budget` — i.e. profiles SATURATE (small closed
+    vocabulary), where the prefix join's candidate enumeration is maximally
+    quadratic precisely because every token is frequent. On open-vocabulary
+    corpora (any real 100 TB crawl) the probes fail and the prefix-filter
+    path below runs unchanged — the O(profiles²) block pass is never
+    reachable without a measured bound, and both paths are exact (pytest
+    equality-gated; same DuckDB oracle)."""
     base = docs.select(
         F.col(id_col).cast("string").alias("id"),
         *[F.col(c) for c in block_cols],
         (F.length(text_col) / length_bucket).cast("int").alias("_lb"),
         _word_set(text_col).alias("_words"),
     )
+    if threshold > 0 and profile_flop_budget > 0:
+        # gate probe (map-side partial agg over a deterministic 10% doc
+        # sample): sampled vocabulary ≤ true vocabulary, so a sample OVER
+        # the bound proves the corpus is open-vocabulary and the fast path
+        # is skipped without ever tokenizing the other 90%. A sample under
+        # the bound is re-verified EXACTLY on the (tiny, saturated) profile
+        # table inside _jaccard_profile_pairs before any pair work runs.
+        sample = base.filter(F.pmod(F.xxhash64("id"), F.lit(10)) == 0)
+        vocab_est = sample.select(F.explode("_words").alias("_w")).agg(
+            F.approx_count_distinct("_w", 0.05).alias("v")
+        ).first()["v"] or 0
+        if vocab_est == 0:  # sample hit no docs (tiny corpus) — probe fully
+            vocab_est = base.select(F.explode("_words").alias("_w")).agg(
+                F.approx_count_distinct("_w", 0.05).alias("v")
+            ).first()["v"] or 0
+        # 0.05-rsd HLL: 10% headroom keeps a borderline under-estimate from
+        # opening the gate a hair too wide (the exact in-path check is the
+        # binding one anyway)
+        if 0 < vocab_est <= profile_vocab_bound * 1.1:
+            fast = _jaccard_profile_pairs(
+                base,
+                threshold,
+                block_cols,
+                vocab_bound=profile_vocab_bound,
+                flop_budget=profile_flop_budget,
+            )
+            if fast is not None:
+                return fast
     toks = base.select("id", *block_cols, "_lb", F.explode("_words").alias("w"))
     # document frequency as a window over the token exchange — the former
     # groupBy + join-back computed the token explode twice and shuffled it
@@ -195,6 +241,197 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def _jaccard_profile_pairs(
+    base: DataFrame,
+    threshold: float,
+    block_cols: tuple,
+    chunk_rows: int = 1024,
+    vocab_bound: int | None = None,
+    flop_budget: float | None = None,
+) -> DataFrame | None:
+    """Exact jaccard pairs over distinct (block, word-set) PROFILES.
+
+    base: (id string, *block_cols, _lb int, _words array<string>). Output
+    identical to the prefix-filter path: (doc_a < doc_b, jaccard ≥ t).
+
+    Shape: one groupBy collapsing docs → profiles; per block, profiles are
+    row_number-chunked (≤ `chunk_rows` rows) and every chunk pair computes
+    an exact |A∩B| count matrix as ONE 0/1-bitmatrix matmul (float32 —
+    exact for counts ≤ 2²⁴; vocab is probe-bounded ≤ 4096 ≪ 2²⁴), then
+    J = inter/(|A|+|B|−inter) in float64 — the identical IEEE division the
+    JVM/oracle perform on the same exact integers. Qualifying PROFILE pairs
+    (≪ doc pairs on saturating corpora) come back through Arrow; two
+    (block, rn)-keyed joins expand members to doc pairs at output size, and
+    same-profile docs pair at J = 1.0 without any verification. Only
+    reachable behind the caller's Σm²·V flop probe — never the default."""
+    keys = [*block_cols, "_lb"]
+    # null block values never pair under SQL equality (the slow path's
+    # verify re-check and the oracle both use plain `=`), so a null-block
+    # doc can be dropped outright
+    not_null = F.col("_words").isNotNull()
+    for c in keys:
+        not_null = not_null & F.col(c).isNotNull()
+    prof = (
+        base.filter(not_null)
+        .groupBy(*keys, F.array_sort("_words").alias("_ws"))
+        .agg(F.collect_list("id").alias("_members"), F.count("*").alias("_n"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.col("_ws"))
+            ),
+        )
+        .localCheckpoint(eager=True)  # matmul chunks + both member joins
+    )
+    # exact regime check on the (already materialized) profile table: ONE
+    # tiny aggregate yields the precise pair-check count Σ_block m² and the
+    # doc count, and one explode over the profile rows the exact
+    # vocabulary. A corpus whose profiles do NOT saturate (m²·V over
+    # budget, or the sampled vocab probe under-read an open vocabulary)
+    # returns None and the caller falls back to the prefix-filter join —
+    # the wasted profile pass is one bounded corpus shuffle.
+    stats = (
+        prof.groupBy(*keys)
+        .agg(F.count("*").alias("_m"), F.sum("_n").alias("_nd"))
+        .agg(
+            F.sum(F.col("_m") * F.col("_m")).alias("p"),
+            F.sum("_nd").alias("nd"),
+        )
+        .first()
+    )
+    pair_ops, n_docs = stats["p"] or 0, stats["nd"] or 0
+    if vocab_bound is not None or flop_budget is not None:
+        vocab = (
+            prof.select(F.explode("_ws").alias("_w"))
+            .agg(F.countDistinct("_w").alias("v"))
+            .first()["v"]
+            or 0
+        )
+        if vocab_bound is not None and vocab > vocab_bound:
+            return None
+        if flop_budget is not None and pair_ops * max(vocab, 1) > flop_budget:
+            return None
+    # dense int block id: the matmul tasks emit (bid<<38 | rn) packed longs
+    # instead of repeating the (possibly wide string) block values per pair
+    # — narrower Arrow transfer and ONE 8-byte join key for the expansion
+    # (guide §2.3: narrow types across the boundary). The single-partition
+    # window runs over #blocks rows only (≪ profiles under the gate).
+    blocks = (
+        prof.select(*keys)
+        .distinct()
+        .withColumn(
+            "_bid", F.row_number().over(Window.orderBy(*keys)) - 1
+        )
+    )
+    profb = prof.join(F.broadcast(blocks), on=keys).select(
+        "_bid", "_rn", "_ws", "_members", "_n"
+    )
+    chunked = (
+        profb.withColumn("_ck", ((F.col("_rn") - 1) / chunk_rows).cast("int"))
+        .groupBy("_bid", "_ck")
+        .agg(F.collect_list(F.struct("_rn", "_ws")).alias("_items"))
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    paired = a.join(
+        b,
+        on=[F.col("a._bid") == F.col("b._bid"), F.col("a._ck") <= F.col("b._ck")],
+    ).select(
+        F.col("a._bid").alias("_bid"),
+        F.col("a._ck").alias("_ca"),
+        F.col("b._ck").alias("_cb"),
+        F.col("a._items").alias("_ia"),
+        F.col("b._items").alias("_ib"),
+    )
+
+    def pair_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for bid, ca, cb, ia, ib in zip(
+                pdf["_bid"], pdf["_ca"], pdf["_cb"], pdf["_ia"], pdf["_ib"]
+            ):
+                same = ca == cb
+                rn_a = np.array([r["_rn"] for r in ia], dtype=np.int64)
+                sets_a = [r["_ws"] for r in ia]
+                if same:
+                    rn_b, sets_b = rn_a, sets_a
+                else:
+                    rn_b = np.array([r["_rn"] for r in ib], dtype=np.int64)
+                    sets_b = [r["_ws"] for r in ib]
+                vocab: dict = {}
+                for s in sets_a:
+                    for w in s:
+                        if w not in vocab:
+                            vocab[w] = len(vocab)
+                if not same:
+                    for s in sets_b:
+                        for w in s:
+                            if w not in vocab:
+                                vocab[w] = len(vocab)
+                va = np.zeros((len(sets_a), len(vocab)), dtype=np.float32)
+                for i, s in enumerate(sets_a):
+                    va[i, [vocab[w] for w in s]] = 1.0
+                if same:
+                    vb = va
+                else:
+                    vb = np.zeros((len(sets_b), len(vocab)), dtype=np.float32)
+                    for i, s in enumerate(sets_b):
+                        vb[i, [vocab[w] for w in s]] = 1.0
+                inter = (va @ vb.T).astype(np.float64)
+                sz_a = va.sum(axis=1, dtype=np.float64)
+                sz_b = vb.sum(axis=1, dtype=np.float64)
+                jac = inter / (sz_a[:, None] + sz_b[None, :] - inter)
+                hit = jac >= threshold
+                if same:
+                    hit &= np.triu(np.ones_like(hit, dtype=bool), k=1)
+                ii, jj = np.nonzero(hit)
+                if len(ii) == 0:
+                    continue
+                packed_base = np.int64(bid) << np.int64(38)
+                yield pd.DataFrame(
+                    {
+                        "_ga": packed_base | rn_a[ii],
+                        "_gb": packed_base | rn_b[jj],
+                        "jaccard": jac[ii, jj],
+                    }
+                )
+
+    gp = paired.mapInPandas(
+        pair_batches, schema="_ga bigint, _gb bigint, jaccard double"
+    )
+    mem = profb.select(
+        (F.shiftleft(F.col("_bid").cast("long"), 38) + F.col("_rn")).alias("_g"),
+        F.explode("_members").alias("_id"),
+    )
+    # members table = one slim row per doc; broadcast it when provably
+    # small so the (possibly huge) pair stream is never shuffled at all
+    mema = mem.select(F.col("_g").alias("_ka"), F.col("_id").alias("_ida"))
+    memb = mem.select(F.col("_g").alias("_kb"), F.col("_id").alias("_idb"))
+    if n_docs <= 2_000_000:
+        mema, memb = F.broadcast(mema), F.broadcast(memb)
+    inter_pairs = (
+        gp.join(mema, F.col("_ga") == F.col("_ka"))
+        .join(memb, F.col("_gb") == F.col("_kb"))
+        .select(
+            F.least(F.col("_ida"), F.col("_idb")).alias("doc_a"),
+            F.greatest(F.col("_ida"), F.col("_idb")).alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        prof.filter(F.col("_n") >= 2)
+        .select(F.explode("_members").alias("_ida"), "_members")
+        .select(F.col("_ida"), F.explode("_members").alias("_idb"))
+        .filter(F.col("_ida") < F.col("_idb"))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    if threshold <= 1.0:
+        return inter_pairs.unionByName(intra)
+    return inter_pairs
 
 
 # ---------------------------------------------------------------------------

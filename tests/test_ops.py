@@ -538,12 +538,22 @@ def test_jaccard_ppjoin_filters_are_lossless(spark):
                     out[(str(ia), str(ib))] = round(j, 9)
         return out
 
+    # the 30-word vocabulary opens the round-6 profile fast path, so run
+    # BOTH implementations against the brute force: the default (profile
+    # matmul here) and the prefix-filter join (profile_flop_budget=0
+    # disables the fast-path gate) — this is also the fast ≡ slow equality
+    # gate for the profile path
     for threshold in (0.5, 0.7, 0.8, 0.9):
-        got = {
-            (r.doc_a, r.doc_b): round(r.jaccard, 9)
-            for r in ngram_jaccard_pairs(docs, threshold=threshold).collect()
-        }
-        assert got == brute(threshold), f"mismatch at t={threshold}"
+        for budget in (2e10, 0):
+            got = {
+                (r.doc_a, r.doc_b): round(r.jaccard, 9)
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=threshold, profile_flop_budget=budget
+                ).collect()
+            }
+            assert got == brute(threshold), (
+                f"mismatch at t={threshold} budget={budget}"
+            )
 
 
 def test_dedup_groups_transitive_closure(spark):
