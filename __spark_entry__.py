@@ -343,14 +343,20 @@ def _sf_graph_tables(spark, sf_dir):
         )
 
         records = _sf_records(spark, sf_dir)
-        # occurrences materialized once: nodes AND mentions both reduce it,
-        # and deriving each straight from records evaluated the occurrence
-        # union (split + explode + dedup) twice
-        occ = occurrences_from_records(records).localCheckpoint(eager=True)
+        # edges first, then occurrences DERIVE from the materialized edge
+        # table (one R-record split pass instead of two); occurrences come
+        # back one-row-per-(chunk, entity) from their single fused
+        # aggregation, so mentions is a free PROJECTION of the occurrence
+        # checkpoint — the former derive_mentions dropDuplicates shuffle
+        # re-deduped rows that are already unique (round 6, guide §2.4)
+        edges = relationships_from_records(records).localCheckpoint(eager=True)
+        occ = occurrences_from_records(records, edges=edges).localCheckpoint(
+            eager=True
+        )
         return (
             derive_nodes(occ).localCheckpoint(eager=True),
-            relationships_from_records(records).localCheckpoint(eager=True),
-            derive_mentions(occ).localCheckpoint(eager=True),
+            edges,
+            occ.select("chunk_id", "entity_id"),
         )
 
     return _memo(spark, f"graph_tables:{sf_dir}", make)

@@ -102,10 +102,10 @@ def parse_records(results: DataFrame) -> DataFrame:
     )
 
 
-def entities_from_records(records: DataFrame) -> DataFrame:
+def _entity_fields(records: DataFrame) -> DataFrame:
     """records (kind='E' rows) → (chunk_id, entity_id, entity_type,
-    description), first occurrence per (chunk, entity) kept. Pure split()
-    field extraction — no regex."""
+    description), one row per entity RECORD (no per-chunk dedup). Pure
+    split() field extraction — no regex."""
     parts = _fields(F.col("rec"))
     return (
         records.filter(F.col("kind") == "E")
@@ -118,8 +118,13 @@ def entities_from_records(records: DataFrame) -> DataFrame:
         )
         .withColumn("description", F.expr("substring(_t, 1, length(_t) - 2)"))
         .drop("_t")
-        .dropDuplicates(["chunk_id", "entity_id"])
     )
+
+
+def entities_from_records(records: DataFrame) -> DataFrame:
+    """records (kind='E' rows) → (chunk_id, entity_id, entity_type,
+    description), one row per (chunk, entity)."""
+    return _entity_fields(records).dropDuplicates(["chunk_id", "entity_id"])
 
 
 def relationships_from_records(records: DataFrame) -> DataFrame:
@@ -150,28 +155,51 @@ def relationships_from_records(records: DataFrame) -> DataFrame:
     )
 
 
-def occurrences_from_records(records: DataFrame) -> DataFrame:
+def occurrences_from_records(
+    records: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
     """records → occurrences(chunk_id, entity_id, placeholder, entity_type,
-    description): one row per (chunk, entity) with declared entity records
-    at placeholder=0 and relationship endpoints at placeholder=1 carrying
-    the 未知 props (graph_writer.py:74-98). The chunk-provenanced superset
-    from which nodes and mentions derive."""
-    entities = entities_from_records(records).select(
+    description): EXACTLY one row per (chunk, entity), carrying the
+    min-struct over every candidate the chunk contributed — declared entity
+    records at placeholder=0, relationship endpoints at placeholder=1 with
+    the 未知 props (graph_writer.py:74-98). The per-(chunk, entity) min is
+    a partial aggregation of derive_nodes' global min, so node props are
+    bit-identical to the reference rule (reference_builder.note(): min over
+    ALL candidates — the former per-side dropDuplicates kept an arbitrary
+    record per chunk before the min, which could diverge when one chunk
+    re-declares an entity with differing props). One shuffle total, where
+    the union of two separately-deduped sides cost three (round 6,
+    guide §2.4). Pass `edges` to reuse an already-materialized
+    relationship table instead of re-splitting the R records."""
+    entities = _entity_fields(records).select(
         "chunk_id", "entity_id", F.lit(0).alias("placeholder"),
         "entity_type", "description",
     )
-    edges = relationships_from_records(records)
+    if edges is None:
+        edges = relationships_from_records(records)
     endpoints = (
         edges.select("chunk_id", F.col("subj").alias("entity_id"))
         .unionByName(edges.select("chunk_id", F.col("obj").alias("entity_id")))
-        .dropDuplicates(["chunk_id", "entity_id"])
         .select(
             "chunk_id", "entity_id", F.lit(1).alias("placeholder"),
             F.lit(UNKNOWN_ENTITY_TYPE).alias("entity_type"),
             F.lit(UNKNOWN_ENTITY_DESCRIPTION).alias("description"),
         )
     )
-    return entities.unionByName(endpoints)
+    return (
+        entities.unionByName(endpoints)
+        .groupBy("chunk_id", "entity_id")
+        .agg(
+            F.min(F.struct("placeholder", "entity_type", "description")).alias("_p")
+        )
+        .select(
+            "chunk_id",
+            "entity_id",
+            F.col("_p.placeholder").alias("placeholder"),
+            F.col("_p.entity_type").alias("entity_type"),
+            F.col("_p.description").alias("description"),
+        )
+    )
 
 
 def parse_entities(results: DataFrame) -> DataFrame:

@@ -57,7 +57,6 @@ def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     materialization, canonicalize's convergence actions would recompute the
     whole upstream (chunk→extract→parse→embed) once per action."""
     from graph_rag_agent_spark.operators.parsing import (
-        derive_mentions,
         derive_nodes,
         occurrences_from_records,
         parse_records,
@@ -87,7 +86,9 @@ def run_kg_build_in_memory(spark, corpus, config=None, extractor=None):
     # barrier instead of two); downstream consumers re-derive it from the
     # checkpointed records — a cheap partial-agg shuffle
     nodes = derive_nodes(occurrences)
-    mentions = derive_mentions(occurrences)
+    # occurrences are one-row-per-(chunk, entity) since their fused
+    # aggregation (round 6) — mentions is a projection, not a re-dedup
+    mentions = occurrences.select("chunk_id", "entity_id")
     embeddings = embed_entities(nodes, dim=cfg.embedding_dim).localCheckpoint(eager=True)
     return canonicalize(
         nodes, edges, mentions, embeddings,
@@ -194,7 +195,6 @@ class BuildPipeline:
 
         t0 = time.time()
         from graph_rag_agent_spark.operators.parsing import (
-            derive_mentions,
             derive_nodes,
             occurrences_from_records,
             parse_records,
@@ -215,8 +215,10 @@ class BuildPipeline:
         t0 = time.time()
         nodes_raw = self._save(derive_nodes(occurrences), "nodes_raw", "parse_nodes", t0)
         t0 = time.time()
+        # occurrences stage table is unique per (chunk, entity) — project
         mentions_raw = self._save(
-            derive_mentions(occurrences), "mentions_raw", "parse_mentions", t0
+            occurrences.select("chunk_id", "entity_id"),
+            "mentions_raw", "parse_mentions", t0,
         )
 
         t0 = time.time()
