@@ -1262,7 +1262,7 @@ def _q_dsir_weights(spark, sf_dir):
     the corpus average."""
     docs = _docs(spark, sf_dir)
     return importance_weights(
-        docs, docs.filter(F.col("lang") == "en"),
+        docs, target_filter=F.col("lang") == "en",
         n_buckets=_DSIR_BUCKETS, smoothing=_DSIR_SMOOTH,
     ).select("doc_id", "log_weight", F.col("n_features").cast("long").alias("n_features"))
 
@@ -1473,9 +1473,24 @@ def _q_tpch_q1(spark, sf_dir):
 def _q_top_orders_per_segment(spark, sf_dir):
     from pyspark.sql import Window
 
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # spread the single-row-group scan so the window exchange's map side is
+    # parallel (the serial 1-task exchange was most of this query's cost)
+    orders = _read_spread(spark, sf_dir, "orders", "o_orderkey")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+    # 5 segments ⇒ the direct top-5 window is 5 single-threaded sorts of
+    # the whole join (guide §2.5). Exact pre-reduce: a row outside the
+    # top-5 of its (segment, orderkey-hash bucket) cannot be in the
+    # segment's top-5, so a bucketed local window cuts the global window
+    # to ≤ 5·buckets rows per segment. Same output, same rn.
+    wl = Window.partitionBy(
+        "c_mktsegment", F.pmod(F.xxhash64("o_orderkey"), F.lit(64))
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    j = j.withColumn("_rl", F.row_number().over(wl)).filter(
+        F.col("_rl") <= 5
+    ).drop("_rl")
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )

@@ -340,7 +340,8 @@ def filter_blocked_sources(
 
 
 def _hashed_features(
-    docs: DataFrame, n_buckets: int, text_col: str, id_col: str
+    docs: DataFrame, n_buckets: int, text_col: str, id_col: str,
+    keep_cols: Tuple[str, ...] = (),
 ) -> DataFrame:
     """→ (doc_id, bucket): one row per unigram AND word-bigram POSITION
     (multiplicity kept — DSIR models feature counts, not sets), bucketed by
@@ -357,9 +358,11 @@ def _hashed_features(
     )
     return docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         F.explode(F.concat(toks, bigrams)).alias("_f"),
     ).select(
         "doc_id",
+        *keep_cols,
         (
             F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long")
             % n_buckets
@@ -369,11 +372,12 @@ def _hashed_features(
 
 def importance_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 16384,
     smoothing: float = 1.0,
     text_col: str = "text",
     id_col: str = "doc_id",
+    target_filter: F.Column | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     score every document by how much more likely its hashed n-gram features
@@ -392,12 +396,34 @@ def importance_weights(
     the B-row log-ratio table is BROADCAST onto the per-position feature
     stream, and the only corpus-sized shuffle is the final groupBy(doc_id)
     with map-side partial sums. No per-row Python anywhere.
-    """
-    feats = _hashed_features(docs, n_buckets, text_col, id_col)
-    tgt_feats = _hashed_features(target, n_buckets, text_col, id_col)
 
-    raw_cnt = feats.groupBy("bucket").agg(F.count("*").alias("_cr"))
-    tgt_cnt = tgt_feats.groupBy("bucket").agg(F.count("*").alias("_ct"))
+    ``target_filter`` (round 6): when the target domain is a FILTER of
+    `docs` (the common in-corpus-slice case), pass the boolean Column
+    instead of a second DataFrame — the feature stream is then hashed ONCE
+    (checkpointed), both bucket counts come out of one aggregation over it
+    (raw count + flag-conditional target count), and the final scoring join
+    reads the same checkpoint. Identical arithmetic — every target feature
+    row is also a raw feature row, so per-bucket counts and totals match
+    the two-DataFrame form bit for bit — with one md5 pass over the corpus
+    instead of three.
+    """
+    if target_filter is not None:
+        feats = _hashed_features(
+            docs.withColumn("_tgt", target_filter), n_buckets, text_col,
+            id_col, keep_cols=("_tgt",),
+        ).localCheckpoint(eager=True)
+        cnt = feats.groupBy("bucket").agg(
+            F.count("*").alias("_cr"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("_ct"),
+        )
+        raw_cnt = cnt.select("bucket", "_cr")
+        tgt_cnt = cnt.filter(F.col("_ct") > 0).select("bucket", "_ct")
+    else:
+        feats = _hashed_features(docs, n_buckets, text_col, id_col)
+        tgt_feats = _hashed_features(target, n_buckets, text_col, id_col)
+
+        raw_cnt = feats.groupBy("bucket").agg(F.count("*").alias("_cr"))
+        tgt_cnt = tgt_feats.groupBy("bucket").agg(F.count("*").alias("_ct"))
     totals = (
         raw_cnt.agg(F.sum("_cr").cast("double").alias("_R"))
         .crossJoin(tgt_cnt.agg(F.sum("_ct").cast("double").alias("_T")))

@@ -67,6 +67,21 @@ def kmv_distinct(
         .distinct()
         .withColumn("_h", h)
     )
+    # pre-reduce (round 6): the per-group bottom-k window clusters ALL
+    # distinct ids into #groups partitions — with a handful of groups that
+    # is a handful of tasks sorting everything (guide §2.5: low-cardinality
+    # partition keys). A row outside the bottom-k of its (group, id-hash
+    # bucket) cannot be in the group's bottom-k, so a bucketed local
+    # window (parallelism = groups × buckets, scale-adaptive) shrinks the
+    # final per-group sort to ≤ k·buckets rows. Exact: (h, id) is a total
+    # order, and the global bottom-k survives bucket-local filtering.
+    n_buckets = max(1, int(df.sparkSession.sparkContext.defaultParallelism) * 4)
+    wloc = Window.partitionBy(
+        group_col, F.pmod(F.xxhash64("_id"), F.lit(n_buckets))
+    ).orderBy(F.col("_h").asc(), F.col("_id").asc())
+    d = d.withColumn("_rl", F.row_number().over(wloc)).filter(
+        F.col("_rl") <= k
+    ).drop("_rl")
     w = Window.partitionBy(group_col).orderBy(F.col("_h").asc(), F.col("_id").asc())
     kept = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
     return (
