@@ -462,11 +462,66 @@ def detect_communities(
     )
 
 
+def _sllpa_driver_kernel(
+    vert_ids, edge_rows, max_iter: int, min_association: float
+):
+    """Pure-Python twin of the distributed SLLPA sweeps below — same
+    strongest-label rule (max hits, tie → min label), same heard
+    weight-sum, same listened pick, same ≥ min_association filter on the
+    UNROUNDED strength, same HALF_UP 6-decimal round (Spark's round()).
+    hits are ints and the oracle-gated projections carry integer-valued
+    double weights, so every comparison is order-exact; for fractional
+    weights the float-sum order differs from a partial aggregation's —
+    exactly the latitude the distributed path itself already has."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    sym = []
+    for s, d, w in edge_rows:
+        sym.append((s, d, w))
+        sym.append((d, s, w))
+    memory: dict = {v: {v: 1} for v in vert_ids}
+    for _ in range(max_iter):
+        strongest = {}
+        for v, mem in memory.items():
+            top = max(mem.values())
+            strongest[v] = min(lbl for lbl, h in mem.items() if h == top)
+        heard: dict = {}
+        for a, b, w in sym:
+            lbl = strongest.get(b)
+            if lbl is not None:
+                acc = heard.setdefault(a, {})
+                acc[lbl] = acc.get(lbl, 0.0) + w
+        for a, labels in heard.items():
+            top = max(labels.values())
+            pick = min(lbl for lbl, w in labels.items() if w == top)
+            mem = memory.setdefault(a, {})
+            mem[pick] = mem.get(pick, 0) + 1
+    rows = []
+    for v, mem in sorted(memory.items()):
+        total = sum(mem.values())
+        for lbl, hits in sorted(mem.items()):
+            s = hits / total
+            if s >= min_association:
+                rows.append(
+                    (
+                        v,
+                        lbl,
+                        float(
+                            Decimal(repr(s)).quantize(
+                                Decimal("0.000001"), rounding=ROUND_HALF_UP
+                            )
+                        ),
+                    )
+                )
+    return rows
+
+
 def overlapping_label_propagation(
     vertices: DataFrame,
     wedges: DataFrame,
     max_iter: int = COMMUNITY_MAX_ITER,
     min_association: float = 0.3,
+    driver_threshold: int = 50_000,
 ) -> DataFrame:
     """G4: SLLPA-style OVERLAPPING communities (reference
     community/detector/sllpa.py:10-89, gds.sllpa with
@@ -474,7 +529,29 @@ def overlapping_label_propagation(
     sweep every node hears its neighbors' current strongest label (weight-
     summed, tie → min label) and records it in memory; after `max_iter`
     sweeps a node belongs to every label holding ≥ min_association of its
-    memory. → (id, label, strength) — possibly multiple rows per node."""
+    memory. → (id, label, strength) — possibly multiple rows per node.
+
+    SIZE-ADAPTIVE (round 6, the CC/canonicalize counts-first pattern):
+    below `driver_threshold` edges+vertices the sweeps run in the shared
+    pure-Python kernel — each distributed sweep is 1 materialization + 2
+    window shuffles of a graph that fits in one hand, all scheduler
+    latency. The distributed loop below is unchanged for real graphs."""
+    spark = vertices.sparkSession
+    e_probe = wedges.select("s", "d", "weight").limit(driver_threshold + 1)
+    v_probe = vertices.select("id").limit(driver_threshold + 1)
+    e_rows = e_probe.collect()
+    if len(e_rows) <= driver_threshold:
+        v_rows = v_probe.collect()
+        if len(v_rows) <= driver_threshold:
+            rows = _sllpa_driver_kernel(
+                [r["id"] for r in v_rows],
+                [(r["s"], r["d"], r["weight"]) for r in e_rows],
+                max_iter,
+                min_association,
+            )
+            return spark.createDataFrame(
+                rows, "id string, label string, strength double"
+            )
     sym = (
         wedges.select(F.col("s").alias("a"), F.col("d").alias("b"), "weight")
         .unionByName(wedges.select(F.col("d").alias("a"), F.col("s").alias("b"), "weight"))

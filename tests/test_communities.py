@@ -386,3 +386,44 @@ def test_forced_leiden_raises_when_graph_exceeds_driver_threshold(spark):
     got = detect_communities(verts, edges, method="auto",
                              driver_threshold_edges=2)
     assert got.count() == 5
+
+
+def test_sllpa_driver_kernel_matches_distributed(spark):
+    """Round-6 size-adaptive SLLPA: the driver kernel (default on small
+    graphs) must emit exactly the distributed sweeps' rows — same labels,
+    same rounded strengths — across a random weighted graph and several
+    sweep counts (driver_threshold=0 forces the distributed loop)."""
+    import random
+
+    from graph_rag_agent_spark.operators.communities import (
+        overlapping_label_propagation,
+    )
+
+    rng = random.Random(20260822)
+    n = 40
+    ids = [f"v{i:02d}" for i in range(n)]
+    edges = set()
+    while len(edges) < 90:
+        a, b = rng.sample(range(n), 2)
+        if a > b:
+            a, b = b, a
+        edges.add((ids[a], ids[b]))
+    rows = [(a, b, float(rng.randint(1, 5))) for a, b in sorted(edges)]
+    verts = spark.createDataFrame([(i,) for i in ids], "id string")
+    wp = spark.createDataFrame(rows, "s string, d string, weight double")
+
+    for sweeps in (1, 3, 5):
+        fast = {
+            (r.id, r.label): r.strength
+            for r in overlapping_label_propagation(
+                verts, wp, max_iter=sweeps, min_association=0.2
+            ).collect()
+        }
+        slow = {
+            (r.id, r.label): r.strength
+            for r in overlapping_label_propagation(
+                verts, wp, max_iter=sweeps, min_association=0.2,
+                driver_threshold=0,
+            ).collect()
+        }
+        assert fast == slow, f"kernel != distributed at sweeps={sweeps}"
