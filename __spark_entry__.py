@@ -385,10 +385,14 @@ def _sf_canonical(spark, sf_dir):
         # intra-edge joins) would re-run the EDGE rewrite per action. One
         # eager checkpoint of res.edges collapses ~6 recomputations to 1 —
         # the production analogue is the materialized canonical_edges stage
-        # table (plans/build.py). nodes/mentions stay lazy: each has a
-        # single cheap consumer, and checkpointing them would bill two more
-        # full rewrite passes to whichever query builds this memo.
-        return res._replace(edges=res.edges.localCheckpoint(eager=True))
+        # table (plans/build.py). mentions joined the checkpoint club in
+        # round 6: community rank, top-communities weight, the local-search
+        # branches and the quality report each re-ran its rewrite (~0.5s a
+        # pass at sf1.0). nodes stay lazy (single cheap consumer).
+        return res._replace(
+            edges=res.edges.localCheckpoint(eager=True),
+            mentions=res.mentions.localCheckpoint(eager=True),
+        )
 
     return _memo(spark, f"sf_canonical:{sf_dir}", make)
 
@@ -854,15 +858,9 @@ def _q_local_search_context(spark, sf_dir):
     membership, summaries = _sf_communities(spark, sf_dir)
     chunks = _sf_chunks(spark, sf_dir)
     # mentions feed THREE section branches (chunk freq, community hit,
-    # community weight) and stay lazy in the memo (single-consumer there);
-    # one local checkpoint stops the mention rewrite re-running per branch
-    # — the round-3 "checkpoint the canonical frames" lesson applied at
-    # the one query that fans them out
-    mentions = _memo(
-        spark,
-        f"lsc_mentions:{sf_dir}",
-        lambda: res.mentions.localCheckpoint(eager=True),
-    )
+    # community weight) — served by the canonical memo's mention
+    # checkpoint since round 6 (no second materialization here)
+    mentions = res.mentions
     seeds = _memo(
         spark,
         f"lsc_seeds:{sf_dir}",
