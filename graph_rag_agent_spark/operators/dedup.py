@@ -550,7 +550,10 @@ def simhash_near_duplicates(
     dropDuplicates shuffle), and member lists expand signature pairs back
     to doc pairs at output size. Hamming is a pure function of the two
     signatures, so the expansion is exact."""
-    sigs = simhash_signatures(docs, text_col, id_col).localCheckpoint(eager=True)
+    # the signature frame's ONLY consumer is the distinct-signature groupBy
+    # below, so the Arrow pass pipelines straight into that checkpoint —
+    # a separate signature materialization was one extra action + write
+    sigs = simhash_signatures(docs, text_col, id_col)
     gs = (
         sigs.groupBy("simhash")
         .agg(F.collect_list("id").alias("_members"))

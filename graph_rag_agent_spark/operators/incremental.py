@@ -209,15 +209,30 @@ def latest_wins(df: DataFrame, keys: list, ts_col: str = "last_updated") -> Data
     The timestamp alone is not a total order: two rows with equal
     (key, ts) but different payloads would be picked arbitrarily, making
     incremental-vs-full-rebuild equivalence run-dependent. All remaining
-    columns serve as ascending tiebreakers, so the winner is a pure
-    function of the data."""
+    ORDERABLE columns serve as ascending tiebreakers, so the winner is a
+    pure function of the data up to one residual caveat: rows tying on
+    (keys, ts) and every orderable column but differing only in an
+    excluded map-typed column are still picked arbitrarily (ordering by a
+    serialized form of the map would impose a spurious order the engine
+    itself refuses to define)."""
     from pyspark.sql import Window
 
-    # maps are not orderable in Spark; every other type (incl. arrays and
-    # structs) sorts lexicographically
-    from pyspark.sql.types import MapType
+    # map-bearing types are not orderable in Spark — anywhere in the tree:
+    # a bare map, an array<map>, or a struct with a map field all raise
+    # AnalysisException in ORDER BY. Every fully map-free type (incl.
+    # arrays and structs) sorts lexicographically.
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    unorderable = {f.name for f in df.schema.fields if isinstance(f.dataType, MapType)}
+    def _has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    unorderable = {f.name for f in df.schema.fields if _has_map(f.dataType)}
     rest = [
         c for c in df.columns if c not in keys and c != ts_col and c not in unorderable
     ]

@@ -162,3 +162,21 @@ def test_catalog_upsert_matches_merge_into_semantics(spark, tmp_path):
     # upsert into a non-existent table = CREATE + INSERT
     cat.upsert("t2", source, keys=["repo", "path"])
     assert cat.read("t2").count() == 2
+
+
+def test_latest_wins_skips_nested_map_tiebreakers(spark):
+    """ADVICE r5: nested unorderable types (array<map>, struct with a map
+    field) must be excluded from the tiebreaker ORDER BY exactly like a
+    top-level map — previously they would raise AnalysisException."""
+    from graph_rag_agent_spark.operators.incremental import latest_wins
+
+    df = spark.createDataFrame(
+        [
+            ("k1", 2, "b", [{"x": 1}], {"m": {"y": "z"}}),
+            ("k1", 1, "a", [{"x": 2}], {"m": {"y": "w"}}),
+        ],
+        "id string, last_updated int, payload string, "
+        "am array<map<string,int>>, sm struct<m: map<string,string>>",
+    )
+    out = latest_wins(df, keys=["id"], ts_col="last_updated").collect()
+    assert len(out) == 1 and out[0].payload == "b"
