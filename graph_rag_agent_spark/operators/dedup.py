@@ -702,70 +702,40 @@ def minhash_lsh_pairs(
         sh = F.when(F.size(ws) >= shingle, F.array_distinct(grams)).otherwise(
             F.array(F.lit(""))
         )
-        # round 6: the K mins are an IN-ROW higher-order aggregation over
-        # the shingle-hash array — the former explode → 64-column groupBy
-        # exchanged one row per (doc, shingle) (2.6M rows at sf1.0) to
-        # compute a per-doc reduction Spark can run entirely inside the
-        # scan projection (guide §2.4: remove shuffles outright). Same md5
-        # hash, same exact int64 (a·h+b) mod M arithmetic, same min.
-        hashes = F.transform(
-            sh,
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-            % _MERSENNE,
+        hv = docs.select(
+            F.col(id_col).cast("string").alias("id"), F.explode(sh).alias("s")
+        ).select(
+            "id",
+            (
+                F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+                % _MERSENNE
+            ).alias("h"),
         )
-        ab = F.array(
+        mins = hv.groupBy("id").agg(
             *[
-                F.struct(
-                    F.lit(int(ha[i])).alias("a"), F.lit(int(hb[i])).alias("b")
-                )
+                F.min(
+                    (F.lit(int(ha[i])) * F.col("h") + F.lit(int(hb[i]))) % _MERSENNE
+                ).alias(f"m{i}")
                 for i in range(num_hashes)
             ]
         )
-        mins_arr = F.aggregate(
-            hashes,
-            F.array(*[F.lit(_MERSENNE).cast("long")] * num_hashes),
-            lambda acc, h: F.zip_with(
-                acc, ab, lambda x, p: F.least(x, (p["a"] * h + p["b"]) % _MERSENNE)
-            ),
-        )
-        # band keys from the mins array. The single-element transform is a
-        # LET binding: the lambda variable m is evaluated once, so the 64
-        # element_at reads below do NOT re-evaluate the aggregate when the
-        # optimizer collapses these projections into the scan (the same
-        # inlining that made the pre-r6 n-gram builders quadratic).
-        def _band_keys(mrow):
-            return F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.lit(str(band)),
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        mrow, band * rows_per_band + j + 1
-                                    ).cast("string")
-                                    for j in range(rows_per_band)
-                                ],
-                            ),
-                        )
-                    )
-                    for band in range(bands)
-                ]
+        band_keys = [
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(str(band)),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{band * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    ),
+                )
             )
-
-        bands_arr = F.element_at(
-            F.transform(
-                F.array(F.struct(mins_arr.alias("m"))),
-                lambda s: _band_keys(s["m"]),
-            ),
-            1,
-        )
-        banded = docs.select(
-            F.col(id_col).cast("string").alias("id"),
-            F.explode(bands_arr).alias("band"),
-        )
+            for band in range(bands)
+        ]
+        banded = mins.select("id", F.explode(F.array(*band_keys)).alias("band"))
         a, b = banded.alias("a"), banded.alias("b")
         return (
             a.join(b, on=[F.col("a.band") == F.col("b.band"), F.col("a.id") < F.col("b.id")])
